@@ -1,0 +1,160 @@
+"""IIR filter design + application in pure JAX (audiomentations-equivalents).
+
+The reference's DualEffectsDataset applies scipy-backed audiomentations
+filters host-side in dataloader workers (reference datasets.py:24,48:
+Gain, BandPassFilter, BandStopFilter, HighPassFilter, LowPassFilter). Here
+filter *design* is closed-form trigonometry (RBJ biquads + Butterworth
+Q-cascades), so cutoffs can be traced values — the whole random-effect
+pipeline jits and vmaps on device instead of running per-item in CPU worker
+processes. Filter *application* is a `lax.scan` over time in transposed
+direct-form II with all batch/channel lanes vectorised on the VPU.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- design ---
+
+def biquad_coeffs(kind: str, cutoff_hz, sample_rate, q=0.7071067811865476, gain_db=0.0):
+    """RBJ cookbook biquad. Returns (b, a) each shape (..., 3), a[...,0]==1.
+
+    kinds: 'lowpass' | 'highpass' | 'bandpass' (0 dB peak) | 'notch' | 'peak'
+         | 'lowshelf' | 'highshelf'. All args may be traced arrays.
+    """
+    w0 = 2.0 * math.pi * jnp.asarray(cutoff_hz, jnp.float32) / sample_rate
+    cw, sw = jnp.cos(w0), jnp.sin(w0)
+    alpha = sw / (2.0 * q)
+    A = 10.0 ** (jnp.asarray(gain_db, jnp.float32) / 40.0)
+
+    if kind == "lowpass":
+        b = jnp.stack([(1 - cw) / 2, 1 - cw, (1 - cw) / 2], -1)
+        a = jnp.stack([1 + alpha, -2 * cw, 1 - alpha], -1)
+    elif kind == "highpass":
+        b = jnp.stack([(1 + cw) / 2, -(1 + cw), (1 + cw) / 2], -1)
+        a = jnp.stack([1 + alpha, -2 * cw, 1 - alpha], -1)
+    elif kind == "bandpass":
+        b = jnp.stack([alpha, jnp.zeros_like(alpha), -alpha], -1)
+        a = jnp.stack([1 + alpha, -2 * cw, 1 - alpha], -1)
+    elif kind == "notch":
+        one = jnp.ones_like(alpha)
+        b = jnp.stack([one, -2 * cw, one], -1)
+        a = jnp.stack([1 + alpha, -2 * cw, 1 - alpha], -1)
+    elif kind == "peak":
+        b = jnp.stack([1 + alpha * A, -2 * cw, 1 - alpha * A], -1)
+        a = jnp.stack([1 + alpha / A, -2 * cw, 1 - alpha / A], -1)
+    elif kind == "lowshelf":
+        sq = 2 * jnp.sqrt(A) * alpha
+        b = jnp.stack(
+            [A * ((A + 1) - (A - 1) * cw + sq), 2 * A * ((A - 1) - (A + 1) * cw),
+             A * ((A + 1) - (A - 1) * cw - sq)], -1)
+        a = jnp.stack(
+            [(A + 1) + (A - 1) * cw + sq, -2 * ((A - 1) + (A + 1) * cw),
+             (A + 1) + (A - 1) * cw - sq], -1)
+    elif kind == "highshelf":
+        sq = 2 * jnp.sqrt(A) * alpha
+        b = jnp.stack(
+            [A * ((A + 1) + (A - 1) * cw + sq), -2 * A * ((A - 1) + (A + 1) * cw),
+             A * ((A + 1) + (A - 1) * cw - sq)], -1)
+        a = jnp.stack(
+            [(A + 1) - (A - 1) * cw + sq, 2 * ((A - 1) - (A + 1) * cw),
+             (A + 1) - (A - 1) * cw - sq], -1)
+    else:
+        raise ValueError(f"unknown biquad kind {kind!r}")
+    b = b / a[..., :1]
+    a = a / a[..., :1]
+    return b, a
+
+
+def butter_sos(order: int, cutoff_hz, sample_rate, btype: str = "lowpass"):
+    """Butterworth LP/HP of even `order` as a cascade of RBJ biquads.
+
+    Closed form: the k-th section's Q is 1/(2 sin((2k+1)π/(2n))), so the
+    design is traced-friendly (no root finding). Returns sos (n_sections, 6)
+    in [b0,b1,b2,a0,a1,a2] layout (a0==1).
+
+    'bandpass' is realised as HP(low_edge) ∘ LP(high_edge) with `order` per
+    edge; 'bandstop' as a cascade of `order//2` RBJ notches at the centre
+    frequency with bandwidth-derived Q. These match the audiomentations
+    behavioural contract (dB/octave rolloff knobs) without scipy.
+    """
+    if btype in ("lowpass", "highpass"):
+        n = order if order % 2 == 0 else order + 1
+        secs = []
+        for k in range(n // 2):
+            q = 1.0 / (2.0 * math.sin(math.pi * (2 * k + 1) / (2.0 * n)))
+            b, a = biquad_coeffs(btype, cutoff_hz, sample_rate, q=q)
+            secs.append(jnp.concatenate([b, a], -1))
+        return jnp.stack(secs)
+    if btype == "bandpass":
+        low, high = cutoff_hz
+        return jnp.concatenate(
+            [butter_sos(order, low, sample_rate, "highpass"),
+             butter_sos(order, high, sample_rate, "lowpass")], 0)
+    if btype == "bandstop":
+        low, high = cutoff_hz
+        center = jnp.sqrt(jnp.asarray(low, jnp.float32) * high)
+        q = center / jnp.maximum(high - low, 1e-3)
+        n_secs = max(order // 2, 1)
+        b, a = biquad_coeffs("notch", center, sample_rate, q=q)
+        sec = jnp.concatenate([b, a], -1)
+        return jnp.stack([sec] * n_secs)
+    raise ValueError(f"unknown btype {btype!r}")
+
+
+# ----------------------------------------------------------- application ---
+
+def _biquad_scan(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """One biquad over (..., T) via transposed direct-form II lax.scan."""
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    a1, a2 = a[..., 1], a[..., 2]
+    xt = jnp.moveaxis(x, -1, 0)  # (T, ...)
+
+    def step(carry, xn):
+        s1, s2 = carry
+        yn = b0 * xn + s1
+        s1n = b1 * xn - a1 * yn + s2
+        s2n = b2 * xn - a2 * yn
+        return (s1n, s2n), yn
+
+    zeros = jnp.zeros(xt.shape[1:], xt.dtype)
+    _, yt = jax.lax.scan(step, (zeros, zeros), xt)
+    return jnp.moveaxis(yt, 0, -1)
+
+
+def sosfilt(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply cascaded second-order sections (n_sections, 6) to (..., T).
+
+    Sections run sequentially (inherent IIR dependency); all leading axes are
+    vectorised inside the scan. For static section counts the Python loop
+    unrolls at trace time into one fused scan chain.
+    """
+    n_sections = sos.shape[0]
+    for i in range(n_sections):
+        x = _biquad_scan(x, sos[i, :3], sos[i, 3:])
+    return x
+
+
+# ------------------------------------------------- convenience wrappers ---
+
+def apply_gain_db(x: jnp.ndarray, gain_db) -> jnp.ndarray:
+    return x * (10.0 ** (jnp.asarray(gain_db, jnp.float32) / 20.0))
+
+
+def lowpass(x, cutoff_hz, sample_rate, order: int = 4):
+    return sosfilt(butter_sos(order, cutoff_hz, sample_rate, "lowpass"), x)
+
+
+def highpass(x, cutoff_hz, sample_rate, order: int = 4):
+    return sosfilt(butter_sos(order, cutoff_hz, sample_rate, "highpass"), x)
+
+
+def bandpass(x, low_hz, high_hz, sample_rate, order: int = 4):
+    return sosfilt(butter_sos(order, (low_hz, high_hz), sample_rate, "bandpass"), x)
+
+
+def bandstop(x, low_hz, high_hz, sample_rate, order: int = 4):
+    return sosfilt(butter_sos(order, (low_hz, high_hz), sample_rate, "bandstop"), x)

@@ -1,0 +1,255 @@
+"""STFT / iSTFT / Griffin-Lim as MXU matmul kernels.
+
+TPU-first formulation: an FFT is a poor fit for the 128x128 systolic array,
+but a dense DFT at n_fft≈1024 is a *great* fit — (frames, n_fft) @
+(n_fft, n_bins) runs at MXU speed and XLA fuses the windowing in. So the
+whole front-end is:
+
+    frame (gather) -> window (fused mul) -> DFT matmul -> complex assemble
+
+and the inverse is the mirrored matmul + overlap-add (vectorised when
+``n_fft % hop == 0``, which holds for every config the reference uses:
+n_fft=1024, hop=256 — reference given_models.py:149-283).
+
+Semantics match torchaudio transforms with their defaults: hann window,
+center=True with reflect padding, onesided, un-normalised forward,
+window-envelope-normalised inverse. Replaces torchaudio.transforms
+{Spectrogram, InverseSpectrogram, GriffinLim} (reference
+given_models.py:158-159,180-181,205-206).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window (matches torch.hann_window default)."""
+    k = np.arange(n)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)
+    return jnp.asarray(w, dtype=dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT analysis bases, shape (n_fft, n_bins) each.
+
+    X[k] = sum_n x[n] (cos(-2πkn/N) + i sin(-2πkn/N)); onesided bins.
+    Built in float64 then cast, so the matmul bases carry full precision.
+    """
+    n_bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _idft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Bases mapping onesided (real, imag) spectra back to time frames.
+
+    x[n] = (1/N) * sum_k w_k * (Re[k] cos(2πkn/N) - Im[k] sin(2πkn/N)),
+    w_k = 1 for DC/Nyquist else 2 (hermitian symmetry folded in).
+    Shapes (n_bins, n_fft).
+    """
+    n_bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[None, :]
+    k = np.arange(n_bins)[:, None]
+    ang = 2.0 * np.pi * n * k / n_fft
+    weight = np.full((n_bins, 1), 2.0)
+    weight[0] = 1.0
+    if n_fft % 2 == 0:
+        weight[-1] = 1.0
+    cos_b = (weight * np.cos(ang) / n_fft).astype(np.float32)
+    sin_b = (-weight * np.sin(ang) / n_fft).astype(np.float32)
+    return cos_b, sin_b
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Slice (..., T) into overlapping frames (..., F, n_fft).
+
+    Uses a static gather; XLA lowers this to a cheap dynamic-slice loop-free
+    copy. F = 1 + (T - n_fft)//hop.
+    """
+    t = x.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return x[..., idx]
+
+
+def _reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def _pow(x: jnp.ndarray, p: float) -> jnp.ndarray:
+    """x**p avoiding jnp.power with float exponents (poor/unimplemented TPU
+    lowering); the common spectrogram exponents get exact cheap forms."""
+    if p == 1.0:
+        return x
+    if p == 2.0:
+        return jnp.square(x)
+    if p == 0.5:
+        return jnp.sqrt(x)
+    return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-30)))
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Complex STFT of (..., T) -> complex64 (..., n_bins, F).
+
+    Matmul formulation: frames @ (window ⊙ DFT basis). Output layout matches
+    torch.stft (freq before time) so downstream code ports 1:1.
+    """
+    if window is None:
+        window = hann_window(n_fft, dtype=x.dtype)
+    if center:
+        x = _reflect_pad(x, n_fft // 2)
+    frames = frame_signal(x, n_fft, hop_length)          # (..., F, n_fft)
+    frames = frames * window                              # fused elementwise
+    cos_b, sin_b = _dft_bases(n_fft)
+    re = jnp.matmul(frames, jnp.asarray(cos_b), precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, jnp.asarray(sin_b), precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    spec = jax.lax.complex(re, im)                        # (..., F, n_bins)
+    return jnp.swapaxes(spec, -1, -2)                     # (..., n_bins, F)
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Overlap-add (..., F, n_fft) -> (..., (F-1)*hop + n_fft).
+
+    Fast path requires n_fft % hop == 0: split each frame into r=n_fft/hop
+    hop-sized chunks and do r shifted full-array adds — no scatter, no scan.
+    """
+    *batch, n_frames, n_fft = frames.shape
+    if n_fft % hop != 0:
+        raise NotImplementedError(
+            "overlap-add fast path needs n_fft % hop == 0 "
+            f"(got n_fft={n_fft}, hop={hop})"
+        )
+    r = n_fft // hop
+    chunks = frames.reshape(*batch, n_frames, r, hop)
+    out = jnp.zeros((*batch, n_frames + r - 1, hop), dtype=frames.dtype)
+    for j in range(r):  # r is small & static (4 for the reference config)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out,
+            jax.lax.dynamic_slice_in_dim(out, j, n_frames, axis=-2) + chunks[..., :, j, :],
+            j,
+            axis=-2,
+        )
+    return out.reshape(*batch, (n_frames + r - 1) * hop)
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Inverse STFT of complex (..., n_bins, F) -> (..., T).
+
+    Matmul iDFT + vectorised overlap-add + window-envelope normalisation
+    (the exact torch.istft normalisation so round-trips are bit-tight).
+    """
+    if window is None:
+        window = hann_window(n_fft)
+    spec = jnp.swapaxes(spec, -1, -2)                     # (..., F, n_bins)
+    cos_b, sin_b = _idft_bases(n_fft)
+    frames = (
+        jnp.matmul(jnp.real(spec), jnp.asarray(cos_b),
+                   precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+        + jnp.matmul(jnp.imag(spec), jnp.asarray(sin_b),
+                     precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    )                                                     # (..., F, n_fft)
+    frames = frames * window
+    y = _overlap_add(frames, hop_length)
+
+    n_frames = spec.shape[-2]
+    win_sq = jnp.broadcast_to(window * window, (n_frames, n_fft))
+    envelope = _overlap_add(win_sq, hop_length)
+    y = y / jnp.maximum(envelope, 1e-11)
+
+    if center:
+        y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
+    if length is not None:
+        if y.shape[-1] >= length:
+            y = y[..., :length]
+        else:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])])
+    return y
+
+
+def spectrogram(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    power: float | None = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """torchaudio.transforms.Spectrogram equivalent.
+
+    power=None -> complex spectrum; power=1 -> magnitude; power=2 -> power.
+    (Reference SpectrogramAE/MagSpectrogramAE, given_models.py:158,180.)
+    """
+    s = stft(x, n_fft=n_fft, hop_length=hop_length, center=center)
+    if power is None:
+        return s
+    mag = jnp.abs(s)
+    return mag if power == 1.0 else _pow(mag, power)
+
+
+def inverse_spectrogram(
+    spec: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    center: bool = True,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """torchaudio.transforms.InverseSpectrogram equivalent (complex input)."""
+    return istft(spec, n_fft=n_fft, hop_length=hop_length, center=center, length=length)
+
+
+def griffin_lim(
+    specgram: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    power: float = 2.0,
+    n_iter: int = 32,
+    momentum: float = 0.99,
+    length: int | None = None,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Griffin-Lim phase recovery (torchaudio.transforms.GriffinLim parity).
+
+    The reference decodes magnitude/mel spectrograms with GriffinLim
+    (given_models.py:181,269). Torch runs a Python loop of n_iter
+    ISTFT/STFT round trips; here it is one `lax.scan`, so the whole
+    iteration compiles to a single fused XLA while-program on TPU.
+    """
+    mag = _pow(specgram, 1.0 / power)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    init_angle = jax.random.uniform(key, mag.shape, dtype=jnp.float32) * 2 * math.pi
+    spec = jax.lax.complex(mag * jnp.cos(init_angle), mag * jnp.sin(init_angle))
+
+    def step(carry, _):
+        spec, prev_rebuilt = carry
+        inv = istft(spec, n_fft=n_fft, hop_length=hop_length)
+        rebuilt = stft(inv, n_fft=n_fft, hop_length=hop_length)
+        tprev = rebuilt - (momentum / (1 + momentum)) * prev_rebuilt
+        angle = tprev / jnp.maximum(jnp.abs(tprev), 1e-16)
+        return (mag * angle, rebuilt), None
+
+    (spec, _), _ = jax.lax.scan(step, (spec, jnp.zeros_like(spec)), None, length=n_iter)
+    return istft(spec, n_fft=n_fft, hop_length=hop_length, length=length)
