@@ -1,0 +1,153 @@
+"""Shared neural blocks (channels-last, MXU-shaped).
+
+JAX rebuilds of the dance-diffusion-style building blocks the reference's
+vendored models are made of (ResConvBlock / SelfAttention1d / FourierFeatures
+— consumed by DiffusionAttnUnet1D, reference DiffusionDVAE.py:122-128).
+All tensors inside are (B, T, C): feature axis last = TPU lane axis, so
+convs lower to implicit GEMM and norms/activations fuse on the VPU.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1, dilation: int = 1,
+           padding: str | int = "SAME") -> jnp.ndarray:
+    """(B, T, Cin) * (K, Cin, Cout) -> (B, T', Cout)."""
+    if isinstance(padding, int):
+        pad = [(padding, padding)]
+    else:
+        pad = padding
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding=pad,
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"))
+
+
+class Conv1d(nn.Module):
+    """Thin flax conv wrapper, channels-last, torch-style kernel_size/stride."""
+    features: int
+    kernel_size: int = 5
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (self.kernel_size,), strides=(self.stride,),
+                       kernel_dilation=(self.dilation,), use_bias=self.use_bias,
+                       padding=self.padding)(x)
+
+
+class FourierFeatures(nn.Module):
+    """Random Fourier timestep embedding: t (B,) -> (B, out_features).
+
+    The frozen weight matrix is a fixed gaussian draw (std configurable) —
+    matching the timestep_embed used in the dance-diffusion UNets the
+    reference vendors.
+    """
+    out_features: int = 16
+    std: float = 1.0
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weight", nn.initializers.normal(stddev=self.std),
+                       (self.out_features // 2, 1))
+        f = 2.0 * math.pi * t[:, None] * w[None, :, 0]  # (B, out/2)
+        return jnp.concatenate([jnp.cos(f), jnp.sin(f)], axis=-1)
+
+
+class ResConvBlock(nn.Module):
+    """conv5-GN-GELU-conv5-GN-GELU with 1x1-projected residual.
+
+    is_last drops the final norm/activation (output head). Mirrors the
+    capability of the dance-diffusion ResConvBlock used throughout the
+    reference's UNets.
+    """
+    c_mid: int
+    c_out: int
+    is_last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        skip = x if c_in == self.c_out else nn.Dense(self.c_out, use_bias=False,
+                                                     name="skip_proj")(x)
+        h = Conv1d(self.c_mid, 5)(x)
+        h = nn.GroupNorm(num_groups=1)(h)
+        h = nn.gelu(h)
+        h = Conv1d(self.c_out, 5)(h)
+        if not self.is_last:
+            h = nn.GroupNorm(num_groups=1)(h)
+            h = nn.gelu(h)
+        return skip + h
+
+
+class SelfAttention1d(nn.Module):
+    """Pre-norm multi-head self-attention over the time axis with residual.
+
+    Matches the capability of dance-diffusion's SelfAttention1d (n_head =
+    channels//32 at the call sites the reference uses). Attention runs in
+    f32 accumulation via preferred_element_type.
+    """
+    n_head: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        h = nn.GroupNorm(num_groups=1)(x)
+        qkv = nn.Dense(3 * c, name="qkv_proj")(h)
+        q, k, v = jnp.split(qkv.reshape(b, t, self.n_head, 3 * (c // self.n_head)), 3, axis=-1)
+        scale = 1.0 / math.sqrt(math.sqrt(c // self.n_head))
+        att = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                         preferred_element_type=jnp.float32)
+        att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+        y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, c)
+        return x + nn.Dense(c, name="out_proj")(y)
+
+
+class Downsample1d(nn.Module):
+    """x2 downsample via a fixed smoothing kernel ([1,3,3,1]/8) strided conv."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        k = jnp.array([1.0, 3.0, 3.0, 1.0]) / 8.0
+        kernel = jnp.zeros((4, c, c)).at[:, jnp.arange(c), jnp.arange(c)].set(k[:, None])
+        return conv1d(x, kernel.astype(x.dtype), stride=2, padding=[(1, 1)])
+
+
+class Upsample1d(nn.Module):
+    """x2 upsample: linear interpolation via transposed smoothing conv."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        k = jnp.array([1.0, 3.0, 3.0, 1.0]) / 4.0
+        kernel = jnp.zeros((4, c, c)).at[:, jnp.arange(c), jnp.arange(c)].set(k[:, None])
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1,), padding=[(2, 2)],
+            lhs_dilation=(2,), dimension_numbers=("NHC", "HIO", "NHC"))
+
+
+def timestep_broadcast(emb: jnp.ndarray, t_len: int) -> jnp.ndarray:
+    """(B, C) timestep embedding -> (B, T, C) broadcast along time."""
+    return jnp.broadcast_to(emb[:, None, :], (emb.shape[0], t_len, emb.shape[1]))
+
+
+def upsample_to(cond: jnp.ndarray, t_len: int) -> jnp.ndarray:
+    """Nearest-upsample conditioning (B, n, C) along time to length t_len.
+
+    Replaces the reference UNets' F.interpolate of the latent conditioning
+    signal up to the audio rate.
+    """
+    b, n, c = cond.shape
+    if n == t_len:
+        return cond
+    idx = (jnp.arange(t_len) * n) // t_len
+    return cond[:, idx, :]

@@ -1,0 +1,94 @@
+"""DiffusionAttnUnet1D — the v-diffusion decoder UNet.
+
+Rebuilds the capability of the dance-diffusion UNet the reference vendors,
+at both call sites:
+  * DVAE decoder: io_channels=2, cond_dim=64, n_attn_layers=4,
+    c_mults=[256,256]+[512]*12 (depth 14) — reference DiffusionDVAE.py:122-128
+  * latent diffusion: io_channels=32, cond_dim=32, n_attn_layers=0,
+    c_mults=[512]*10, depth=10 — reference StackedAELatentDiffusionCond.py:202-208
+
+Structure per level i (0 = full rate): [ResConvBlock x3 (+attention in the
+deepest n_attn_layers levels)] -> downsample x2 -> ... -> bottleneck ->
+mirrored up path with skip concat. Timestep enters as 16 Fourier features
+broadcast along time and concatenated to the input; the conditioning latents
+are nearest-upsampled to the input length and concatenated likewise (the
+dance-diffusion conditioning recipe). Everything is static-shape; the whole
+forward is one jit program.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import (
+    Conv1d, FourierFeatures, ResConvBlock, SelfAttention1d,
+    Downsample1d, Upsample1d, timestep_broadcast, upsample_to,
+)
+
+
+class _Level(nn.Module):
+    """Three ResConvBlocks with optional interleaved self-attention."""
+    c_mid: int
+    c_out: int
+    attn: bool
+    is_last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResConvBlock(self.c_mid, self.c_mid)(x)
+        if self.attn:
+            x = SelfAttention1d(max(1, self.c_mid // 32))(x)
+        x = ResConvBlock(self.c_mid, self.c_mid)(x)
+        if self.attn:
+            x = SelfAttention1d(max(1, self.c_mid // 32))(x)
+        x = ResConvBlock(self.c_mid, self.c_out, is_last=self.is_last)(x)
+        if self.attn and not self.is_last:
+            x = SelfAttention1d(max(1, self.c_out // 32))(x)
+        return x
+
+
+class DiffusionAttnUnet1D(nn.Module):
+    io_channels: int = 2
+    cond_dim: int = 0
+    n_attn_layers: int = 4
+    c_mults: Sequence[int] = tuple([256, 256] + [512] * 12)
+    depth: int | None = None          # defaults to len(c_mults)
+    pqmf_bands: int = 1
+    timestep_features: int = 16
+
+    @nn.compact
+    def __call__(self, x, t, cond=None):
+        """x (B, io_channels, T), t (B,), cond (B, cond_dim, n) -> v (B, io_channels, T)."""
+        depth = self.depth or len(self.c_mults)
+        c_mults = list(self.c_mults)[:depth]
+        n_io = self.io_channels * self.pqmf_bands
+
+        h = jnp.swapaxes(x, -1, -2)                       # (B, T, C)
+        t_emb = FourierFeatures(self.timestep_features)(t)
+        h = jnp.concatenate([h, timestep_broadcast(t_emb, h.shape[1])], axis=-1)
+        if self.cond_dim > 0:
+            if cond is None:
+                raise ValueError("cond_dim > 0 requires a conditioning signal")
+            c = upsample_to(jnp.swapaxes(cond, -1, -2), h.shape[1])
+            h = jnp.concatenate([h, c], axis=-1)
+
+        attn_start = depth - self.n_attn_layers           # levels >= this get attention
+
+        skips = []
+        for i in range(depth - 1):
+            h = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(h)
+            skips.append(h)
+            h = Downsample1d()(h)
+
+        h = _Level(c_mults[depth - 1], c_mults[depth - 1],
+                   attn=depth - 1 >= attn_start)(h)
+
+        for i in reversed(range(depth - 1)):
+            h = Upsample1d()(h)
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(h)
+
+        out = ResConvBlock(c_mults[0], n_io, is_last=True)(h)
+        return jnp.swapaxes(out, -1, -2)

@@ -1,0 +1,270 @@
+"""UNetCFG1d — CLAP-conditioned latent-diffusion UNet with CFG.
+
+Rebuilds the capability of archinet audio_diffusion_pytorch 0.0.97's
+UNetCFG1d at the reference's "songs" configuration: in_channels 32, context
+embedding 512x1, channels 256, multipliers [2,3,4,4,4,4], factors
+[1,2,2,4,4], num_blocks [3]*5, attentions [0,0,2,2,2,2], 16 heads x 64
+features, rel-pos buckets 256 / max distance 2048, skip scaling, context
+time (reference StackedAELatentDiffusionCond.py:297-317).
+
+Classifier-free guidance contract matches the reference call sites:
+  * training: `embedding_mask_proba=0.1` randomly swaps the conditioning
+    embedding for a learned null ("fixed") embedding per batch element
+    (reference StackedAELatentDiffusionCond.py:382).
+  * sampling: `embedding_scale=s` runs cond + null in ONE doubled batch
+    (2x batch, one program — the TPU-friendly CFG) and returns
+    null + s*(cond-null) (reference mirage.py demo_steps path).
+
+Self-attention uses T5-style bucketed relative position bias; cross-attention
+attends to the (B, L, 512) context. Time enters as a sinusoidal embedding ->
+MLP -> per-block scale/shift.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import Conv1d
+
+
+def sinusoidal_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half) / half)
+    ang = t[:, None] * freqs[None, :] * 1000.0
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def _relative_position_bucket(rel_pos, num_buckets: int, max_distance: int):
+    """T5 bidirectional relative-position bucketing."""
+    num_buckets //= 2
+    ret = jnp.where(rel_pos > 0, num_buckets, 0)
+    n = jnp.abs(rel_pos)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class RelPosSelfAttention(nn.Module):
+    heads: int
+    head_features: int
+    num_buckets: int = 256
+    max_distance: int = 2048
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        inner = self.heads * self.head_features
+        h = nn.LayerNorm()(x)
+        q = nn.Dense(inner, use_bias=False)(h).reshape(b, t, self.heads, self.head_features)
+        k = nn.Dense(inner, use_bias=False)(h).reshape(b, t, self.heads, self.head_features)
+        v = nn.Dense(inner, use_bias=False)(h).reshape(b, t, self.heads, self.head_features)
+        scale = self.head_features ** -0.5
+        att = jnp.einsum("bthd,bshd->bhts", q * scale, k,
+                         preferred_element_type=jnp.float32)
+        pos = jnp.arange(t)
+        buckets = _relative_position_bucket(pos[None, :] - pos[:, None],
+                                            self.num_buckets, self.max_distance)
+        bias_table = self.param("rel_pos_bias", nn.initializers.normal(0.02),
+                                (self.num_buckets, self.heads))
+        att = att + jnp.transpose(bias_table[buckets], (2, 0, 1))[None]
+        att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+        y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, inner)
+        return x + nn.Dense(c)(y)
+
+
+class CrossAttention(nn.Module):
+    heads: int
+    head_features: int
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, t, c = x.shape
+        inner = self.heads * self.head_features
+        h = nn.LayerNorm()(x)
+        ctx = nn.LayerNorm()(context)
+        q = nn.Dense(inner, use_bias=False)(h).reshape(b, t, self.heads, self.head_features)
+        k = nn.Dense(inner, use_bias=False)(ctx).reshape(b, -1, self.heads, self.head_features)
+        v = nn.Dense(inner, use_bias=False)(ctx).reshape(b, -1, self.heads, self.head_features)
+        att = jnp.einsum("bthd,bshd->bhts", q * self.head_features ** -0.5, k,
+                         preferred_element_type=jnp.float32)
+        att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+        y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, inner)
+        return x + nn.Dense(c)(y)
+
+
+class FeedForward(nn.Module):
+    multiplier: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(c * self.multiplier)(h)
+        h = nn.gelu(h)
+        return x + nn.Dense(c)(h)
+
+
+class TransformerBlock(nn.Module):
+    heads: int
+    head_features: int
+    multiplier: int
+    num_buckets: int
+    max_distance: int
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = RelPosSelfAttention(self.heads, self.head_features,
+                                self.num_buckets, self.max_distance)(x)
+        x = CrossAttention(self.heads, self.head_features)(x, context)
+        return FeedForward(self.multiplier)(x)
+
+
+class ResnetBlock(nn.Module):
+    features: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, time_emb):
+        h = nn.GroupNorm(num_groups=self.groups)(x)
+        h = nn.silu(h)
+        h = Conv1d(self.features, kernel_size=3)(h)
+        # per-block time scale/shift
+        ts = nn.Dense(2 * self.features)(nn.silu(time_emb))
+        scale, shift = jnp.split(ts[:, None, :], 2, axis=-1)
+        h = nn.GroupNorm(num_groups=self.groups)(h) * (1 + scale) + shift
+        h = nn.silu(h)
+        h = Conv1d(self.features, kernel_size=3)(h)
+        skip = x if x.shape[-1] == self.features else nn.Dense(self.features,
+                                                               use_bias=False)(x)
+        return skip + h
+
+
+class _UNetCore(nn.Module):
+    """The UNet body (single compact trace); called once per forward, with a
+    doubled batch when CFG sampling."""
+    cfg: "UNetCFG1d"
+
+    @nn.compact
+    def __call__(self, x, t, context):
+        cfg = self.cfg
+        n_levels = len(cfg.multipliers)
+
+        if cfg.use_context_time:
+            emb = sinusoidal_embedding(t, cfg.channels)
+            emb = nn.Dense(4 * cfg.channels, name="time_mlp1")(emb)
+            emb = nn.silu(emb)
+            time_emb = nn.Dense(4 * cfg.channels, name="time_mlp2")(emb)
+        else:
+            time_emb = jnp.zeros((x.shape[0], 4 * cfg.channels), x.dtype)
+
+        h = jnp.swapaxes(x, -1, -2)                         # (B, T, C)
+        h = Conv1d(cfg.channels * cfg.multipliers[0], kernel_size=7,
+                   name="init_conv")(h)
+
+        def level(h, i, stage):
+            feats = cfg.channels * cfg.multipliers[i]
+            for j in range(cfg.num_blocks[i] if i < len(cfg.num_blocks) else 1):
+                h = ResnetBlock(feats, cfg.resnet_groups,
+                                name=f"{stage}_res{i}_{j}")(h, time_emb)
+            for j in range(cfg.attentions[i]):
+                h = TransformerBlock(
+                    cfg.attention_heads, cfg.attention_features,
+                    cfg.attention_multiplier,
+                    cfg.attention_rel_pos_num_buckets,
+                    cfg.attention_rel_pos_max_distance,
+                    name=f"{stage}_attn{i}_{j}")(h, context)
+            return h
+
+        skips = []
+        for i in range(n_levels - 1):
+            h = level(h, i, "down")
+            skips.append(h)
+            f = cfg.factors[i]
+            if f > 1:
+                h = Conv1d(cfg.channels * cfg.multipliers[i + 1],
+                           kernel_size=f * cfg.kernel_multiplier_downsample,
+                           stride=f, name=f"down_conv{i}")(h)
+            else:
+                h = Conv1d(cfg.channels * cfg.multipliers[i + 1],
+                           kernel_size=3, name=f"down_conv{i}")(h)
+
+        h = level(h, n_levels - 1, "mid")
+
+        for i in reversed(range(n_levels - 1)):
+            f = cfg.factors[i]
+            if f > 1:
+                h = nn.ConvTranspose(cfg.channels * cfg.multipliers[i],
+                                     (f * cfg.kernel_multiplier_downsample,),
+                                     strides=(f,), padding="SAME",
+                                     name=f"up_conv{i}")(h)
+            else:
+                h = Conv1d(cfg.channels * cfg.multipliers[i],
+                           kernel_size=3, name=f"up_conv{i}")(h)
+            skip = skips.pop()
+            if cfg.use_skip_scale:
+                skip = skip * (2.0 ** -0.5)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = level(h, i, "up")
+
+        h = nn.GroupNorm(num_groups=cfg.resnet_groups, name="out_norm")(h)
+        h = nn.silu(h)
+        h = Conv1d(cfg.in_channels, kernel_size=7, name="out_conv")(h)
+        return jnp.swapaxes(h, -1, -2)
+
+
+class UNetCFG1d(nn.Module):
+    in_channels: int = 32
+    context_embedding_features: int = 512
+    context_embedding_max_length: int = 1
+    channels: int = 256
+    resnet_groups: int = 8
+    kernel_multiplier_downsample: int = 2
+    multipliers: Sequence[int] = (2, 3, 4, 4, 4, 4)
+    factors: Sequence[int] = (1, 2, 2, 4, 4)
+    num_blocks: Sequence[int] = (3, 3, 3, 3, 3)
+    attentions: Sequence[int] = (0, 0, 2, 2, 2, 2)
+    attention_heads: int = 16
+    attention_features: int = 64
+    attention_multiplier: int = 4
+    attention_rel_pos_max_distance: int = 2048
+    attention_rel_pos_num_buckets: int = 256
+    use_skip_scale: bool = True
+    use_context_time: bool = True
+
+    @nn.compact
+    def __call__(self, x, t, embedding=None, embedding_mask_proba: float = 0.0,
+                 embedding_scale: float = 1.0):
+        """x (B, in_channels, T), t (B,), embedding (B, L, 512) -> v (B, in_channels, T)."""
+        fixed = self.param("fixed_embedding", nn.initializers.normal(0.02),
+                           (self.context_embedding_max_length,
+                            self.context_embedding_features))
+        b = x.shape[0]
+        null_ctx = jnp.broadcast_to(fixed[None], (b, *fixed.shape)).astype(x.dtype)
+        if embedding is None:
+            context = null_ctx
+        else:
+            context = embedding.astype(x.dtype)
+            if embedding_mask_proba > 0.0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("cfg"), 1.0 - embedding_mask_proba, (b, 1, 1))
+                context = jnp.where(keep, context, null_ctx)
+
+        core = _UNetCore(self, name="core")
+        if embedding is not None and embedding_scale != 1.0:
+            # CFG as ONE doubled batch: [cond | null] -> combine
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ctx2 = jnp.concatenate([context, null_ctx], axis=0)
+            v2 = core(x2, t2, ctx2)
+            v_cond, v_null = jnp.split(v2, 2, axis=0)
+            return v_null + embedding_scale * (v_cond - v_null)
+        return core(x, t, context)

@@ -1,0 +1,99 @@
+"""k-diffusion sampling path: VDenoiser + polyexponential sigmas + DPM++(2M).
+
+Rebuilds the capability of the reference's k-diffusion usage
+(`K.external.VDenoiser`, `K.sampling.get_sigmas_polyexponential(steps, 0.11,
+50)`, `K.sampling.sample_dpmpp_2m` — reference
+StackedAELatentDiffusionCond.py:119-138). The sampler loop is one
+`lax.scan`; the first-step special case (no previous denoised estimate) is
+folded in with a select instead of a Python branch.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class VDenoiser:
+    """Wrap a v-objective model as a Karras-style denoiser (sigma_data=1).
+
+    denoised = c_skip*x + c_out*model(c_in*x, t(sigma)); t = atan(sigma)·2/π.
+    """
+
+    def __init__(self, model_fn: Callable, sigma_data: float = 1.0):
+        self.model_fn = model_fn
+        self.sigma_data = sigma_data
+
+    def sigma_to_t(self, sigma):
+        return jnp.arctan(sigma / self.sigma_data) / math.pi * 2
+
+    def t_to_sigma(self, t):
+        return jnp.tan(t * math.pi / 2) * self.sigma_data
+
+    def __call__(self, x, sigma, **kwargs):
+        sd2 = self.sigma_data**2
+        total = sigma**2 + sd2
+        c_skip = sd2 / total
+        c_out = -sigma * self.sigma_data / jnp.sqrt(total)
+        c_in = 1.0 / jnp.sqrt(total)
+        shape = (-1,) + (1,) * (x.ndim - 1)
+        v = self.model_fn(x * c_in.reshape(shape),
+                          self.sigma_to_t(sigma), **kwargs)
+        return x * c_skip.reshape(shape) + v.astype(x.dtype) * c_out.reshape(shape)
+
+
+def get_sigmas_polyexponential(n: int, sigma_min: float, sigma_max: float,
+                               rho: float = 1.0) -> jnp.ndarray:
+    """Polyexponential sigma schedule, descending, with trailing 0
+    (k-diffusion semantics used at reference StackedAELatentDiffusionCond.py:128)."""
+    ramp = np.linspace(1, 0, n) ** rho
+    sigmas = np.exp(ramp * (math.log(sigma_max) - math.log(sigma_min))
+                    + math.log(sigma_min))
+    return jnp.asarray(np.append(sigmas, 0.0), jnp.float32)
+
+
+def sample_dpmpp_2m(denoiser: Callable, x: jnp.ndarray, sigmas: jnp.ndarray,
+                    extra_args: Optional[dict] = None) -> jnp.ndarray:
+    """DPM-Solver++(2M) as one lax.scan (k-diffusion sample_dpmpp_2m math)."""
+    extra_args = extra_args or {}
+    n = sigmas.shape[0] - 1
+    s_in = jnp.ones((x.shape[0],), x.dtype)
+
+    def t_fn(sigma):
+        return -jnp.log(jnp.maximum(sigma, 1e-20))
+
+    def sigma_fn(t):
+        return jnp.exp(-t)
+
+    def body(carry, i):
+        x, old_denoised = carry
+        denoised = denoiser(x, sigmas[i] * s_in, **extra_args)
+        t, t_next = t_fn(sigmas[i]), t_fn(sigmas[i + 1])
+        h = t_next - t
+        first = (i == 0) | (sigmas[i + 1] == 0)
+        h_last = t - t_fn(sigmas[jnp.maximum(i - 1, 0)])
+        r = h_last / h
+        denoised_d = jnp.where(
+            first, denoised,
+            (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised)
+        x_next = (sigma_fn(t_next) / sigma_fn(t)) * x - jnp.expm1(-h) * denoised_d
+        return (x_next, denoised), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(n))
+    return x
+
+
+def kdiff_sample(model_fn: Callable, latents: jnp.ndarray, steps: int,
+                 eta: float = 0.0, sigma_min: float = 0.11,
+                 sigma_max: float = 50.0, **extra_args) -> jnp.ndarray:
+    """The reference's `sample` wrapper (StackedAELatentDiffusionCond.py:119-138):
+    scale unit noise by sigma_max, run DPM++(2M) over polyexponential sigmas,
+    clamp to [-1, 1]."""
+    denoiser = VDenoiser(model_fn)
+    sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max)
+    x = latents * sigmas[0]
+    out = sample_dpmpp_2m(denoiser, x, sigmas, extra_args=extra_args)
+    return jnp.clip(out, -1.0, 1.0)

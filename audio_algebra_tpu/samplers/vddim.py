@@ -1,0 +1,123 @@
+"""v-objective DDIM sampler with cosine + "crash" schedules.
+
+Math matches the reference exactly (get_alphas_sigmas / get_crash_schedule /
+alpha_sigma_to_t / sample — reference DiffusionDVAE.py:36-95; the step_list
+variant sample_manual — StackedAELatentDiffusionCond.py:71-115; the img2img
+partial-noise `resample` — :141-173). The Python sampling loop becomes one
+`lax.scan`, so a 35-250 step decode is a single XLA program.
+
+`model_fn(x, t, *cond)` is any callable (a bound flax apply); eta>0 draws
+per-step noise from a fold-in of the provided key, giving reproducible
+trajectories under jit.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def get_alphas_sigmas(t: jnp.ndarray):
+    """Scaling factors for signal (alpha) and noise (sigma) at timestep t
+    (reference DiffusionDVAE.py:36-39)."""
+    return jnp.cos(t * math.pi / 2), jnp.sin(t * math.pi / 2)
+
+
+def alpha_sigma_to_t(alpha, sigma):
+    """Inverse of get_alphas_sigmas (reference DiffusionDVAE.py:48-51)."""
+    return jnp.arctan2(sigma, alpha) / math.pi * 2
+
+
+def get_crash_schedule(t: jnp.ndarray):
+    """The 'crash' schedule warp (reference DiffusionDVAE.py:42-45)."""
+    sigma = jnp.sin(t * math.pi / 2) ** 2
+    alpha = (1 - sigma**2) ** 0.5
+    return alpha_sigma_to_t(alpha, sigma)
+
+
+def _ddim_scan(model_fn: Callable, x: jnp.ndarray, t_steps: jnp.ndarray,
+               eta: float, key: Optional[jax.Array], extra_args: dict):
+    """Shared scan body for sample/sample_manual. t_steps: (S,) descending."""
+    steps = t_steps.shape[0]
+    alphas, sigmas = get_alphas_sigmas(t_steps)
+    ts_ones = jnp.ones((x.shape[0],), x.dtype)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def body(carry, idx):
+        x = carry
+        t_i = t_steps[idx]
+        v = model_fn(x, ts_ones * t_i, **extra_args).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        pred = xf * alphas[idx] - v * sigmas[idx]
+        eps = xf * sigmas[idx] + v * alphas[idx]
+
+        # next-step combine (skipped on the last step via the where below)
+        nxt = jnp.minimum(idx + 1, steps - 1)
+        if eta:
+            ddim_sigma = eta * jnp.sqrt(sigmas[nxt] ** 2 / jnp.maximum(sigmas[idx] ** 2, 1e-20)) * \
+                jnp.sqrt(jnp.maximum(1 - alphas[idx] ** 2 / jnp.maximum(alphas[nxt] ** 2, 1e-20), 0.0))
+            adjusted_sigma = jnp.sqrt(jnp.maximum(sigmas[nxt] ** 2 - ddim_sigma ** 2, 0.0))
+            noise = jax.random.normal(jax.random.fold_in(key, idx), x.shape, jnp.float32)
+            x_next = pred * alphas[nxt] + eps * adjusted_sigma + noise * ddim_sigma
+        else:
+            x_next = pred * alphas[nxt] + eps * sigmas[nxt]
+
+        is_last = idx == steps - 1
+        out = jnp.where(is_last, pred, x_next).astype(x.dtype)
+        return out, None
+
+    final, _ = jax.lax.scan(body, x, jnp.arange(steps))
+    return final
+
+
+def sample(model_fn: Callable, x: jnp.ndarray, steps: int, eta: float, logits,
+           key: Optional[jax.Array] = None, **extra_args) -> jnp.ndarray:
+    """Draw samples from noise x with the crash schedule (reference
+    DiffusionDVAE.py:54-95). `logits` is the conditioning (kept positional
+    for reference call-site parity: sample(model, noise, steps, 0, reps))."""
+    t = jnp.linspace(1.0, 0.0, steps + 1)[:-1]
+    t = get_crash_schedule(t)
+    if logits is not None:
+        extra_args = dict(extra_args, cond=logits)
+    return _ddim_scan(model_fn, x, t, eta, key, extra_args)
+
+
+def sample_manual(model_fn: Callable, x: jnp.ndarray, steps: int, eta: float,
+                  step_list: Optional[jnp.ndarray] = None,
+                  key: Optional[jax.Array] = None, **extra_args) -> jnp.ndarray:
+    """Linear (or caller-provided) schedule variant (reference
+    StackedAELatentDiffusionCond.py:71-115)."""
+    if step_list is None:
+        t = jnp.linspace(1.0, 0.0, steps + 1)[:-1]
+    else:
+        t = step_list
+    return _ddim_scan(model_fn, x, t, eta, key, extra_args)
+
+
+def resample_diffusion(model_fn: Callable, audio_latents: jnp.ndarray,
+                       steps: int = 100, eta: float = 0.0,
+                       noise_level: float = 1.0,
+                       key: Optional[jax.Array] = None,
+                       **extra_args) -> jnp.ndarray:
+    """img2img-style partial-noise init ("resample", reference
+    StackedAELatentDiffusionCond.py:141-173): noise the input latents to
+    `noise_level`, then run the tail of the linear schedule."""
+    while audio_latents.ndim < 3:
+        audio_latents = audio_latents[None]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    # schedule is host-side: steps/noise_level are static config, so the
+    # truncated step list has a static length (jit-compatible)
+    import numpy as np
+
+    t = np.linspace(0.0, 1.0, steps + 1)
+    step_list = jnp.asarray(t[t < noise_level], jnp.float32)
+    alpha, sigma = get_alphas_sigmas(step_list[-1])
+    noise = jax.random.normal(key, audio_latents.shape, audio_latents.dtype)
+    noised = audio_latents * alpha + noise * sigma
+    return sample_manual(model_fn, noised, steps, eta,
+                         step_list=step_list[::-1][:-1],
+                         key=jax.random.fold_in(key, 1), **extra_args)
