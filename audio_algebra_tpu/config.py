@@ -43,9 +43,20 @@ class ConfigNamespace(SimpleNamespace):
 
 
 def read_defaults_ini(path: str) -> dict:
-    """Read the [DEFAULTS] section of an INI file into a literal-typed dict."""
+    """Read the [DEFAULTS] section of an INI file into a literal-typed dict.
+
+    Relative paths not found in the cwd fall back to the repo root (where
+    the shipped defaults.ini / bdct-chunk-pca.ini live, reference parity).
+    """
+    import os
+
     cp = configparser.ConfigParser()
     read = cp.read(path)
+    if not read and not os.path.isabs(path):
+        from pathlib import Path
+
+        fallback = Path(__file__).resolve().parents[1] / path
+        read = cp.read(fallback)
     if not read:
         raise FileNotFoundError(f"config file not found: {path}")
     section = "DEFAULTS" if cp.has_section("DEFAULTS") else cp.default_section

@@ -6,13 +6,13 @@ reference datasets.py:17,25): file scanning, random-crop chunking with
 silence redraw, augmentation pipeline, and DualEffectsDataset returning
 {a, b, a1, b1, a2, b2, e1, e2} (reference datasets.py:31-129).
 
-TPU note: the five audiomentations-style filter effects (Gain, BandPass,
-BandStop, HighPass, LowPass — reference datasets.py:48) apply via jitted
-closed-form biquad cascades with the cutoff as a *traced argument*, so one
-compiled program serves every random parameter draw; effects run on whatever
-backend hosts the data pipeline (CPU by default) without per-item recompiles.
-A simple batching DataLoader with background thread prefetch replaces
-torch's worker processes.
+Host/device split: the five audiomentations-style filter effects (Gain,
+BandPass, BandStop, HighPass, LowPass — reference datasets.py:48) run
+host-side in the data pipeline (numpy biquad design + scipy sosfilt) since
+they fire per item with fresh random parameters; the on-device
+traced-coefficient twins live in ops.filters for fully jitted corpus
+pipelines. A simple batching DataLoader with background-thread prefetch
+replaces torch's worker processes.
 """
 from __future__ import annotations
 
@@ -140,32 +140,27 @@ class Gain(_FilterEffect):
 
 
 class _ButterEffect(_FilterEffect):
+    """Filter effects run HOST-SIDE (numpy design + scipy sosfilt): they fire
+    per dataset item with random parameters, where device dispatch latency
+    and per-shape compiles would dominate. The on-device traced-coefficient
+    path (ops.filters.butter_sos + sosfilt) remains available for fully
+    jitted corpus pipelines."""
     btype = "lowpass"
 
     def __init__(self, min_rolloff: int = 12, max_rolloff: int = 24, p: float = 0.5):
         super().__init__(p)
         self.min_rolloff, self.max_rolloff = min_rolloff, max_rolloff
-        self._jits = {}
 
     def _order(self) -> int:
         # rolloff dB/octave -> butterworth order (6 dB/oct per pole)
         rolloff = random.choice(range(self.min_rolloff, self.max_rolloff + 1, 6))
         return max(2, rolloff // 6)
 
-    def _jit_for(self, order: int, two_sided: bool):
-        key = (order, two_sided)
-        if key not in self._jits:
-            if two_sided:
-                self._jits[key] = jax.jit(
-                    lambda x, lo, hi, sr: F.sosfilt(
-                        F.butter_sos(order, (lo, hi), sr, self.btype), x),
-                    static_argnums=3)
-            else:
-                self._jits[key] = jax.jit(
-                    lambda x, c, sr: F.sosfilt(
-                        F.butter_sos(order, c, sr, self.btype), x),
-                    static_argnums=2)
-        return self._jits[key]
+    def _filter(self, x, cutoff, sr, two_sided: bool):
+        sos = F.butter_sos_np(self._order(),
+                              cutoff if two_sided else float(cutoff),
+                              sr, self.btype)
+        return F.sosfilt_np(sos, x)
 
 
 class LowPassFilter(_ButterEffect):
@@ -179,7 +174,7 @@ class LowPassFilter(_ButterEffect):
 
     def apply(self, x, sr):
         c = math_loguniform(self.min_cutoff_freq, self.max_cutoff_freq)
-        return self._jit_for(self._order(), False)(x, c, sr)
+        return self._filter(x, c, sr, False)
 
 
 class HighPassFilter(_ButterEffect):
@@ -193,7 +188,7 @@ class HighPassFilter(_ButterEffect):
 
     def apply(self, x, sr):
         c = math_loguniform(self.min_cutoff_freq, self.max_cutoff_freq)
-        return self._jit_for(self._order(), False)(x, c, sr)
+        return self._filter(x, c, sr, False)
 
 
 class _BandEffect(_ButterEffect):
@@ -218,7 +213,7 @@ class BandPassFilter(_BandEffect):
 
     def apply(self, x, sr):
         lo, hi = self._edges(sr)
-        return self._jit_for(self._order(), True)(x, lo, hi, sr)
+        return self._filter(x, (lo, hi), sr, True)
 
 
 class BandStopFilter(_BandEffect):
@@ -227,7 +222,7 @@ class BandStopFilter(_BandEffect):
 
     def apply(self, x, sr):
         lo, hi = self._edges(sr)
-        return self._jit_for(self._order(), True)(x, lo, hi, sr)
+        return self._filter(x, (lo, hi), sr, True)
 
 
 def math_loguniform(lo: float, hi: float) -> float:

@@ -118,8 +118,9 @@ class GivenModelClass:
         if url and ckpt_file:
             print(f"Downloading to {ckpt_file}")
             try:
-                subprocess.run(f"curl -L {url} -o {ckpt_file}", shell=True,
-                               check=True, timeout=600)
+                subprocess.run(
+                    f"curl -L --connect-timeout 5 --max-time 300 {url} -o {ckpt_file}",
+                    shell=True, check=True, timeout=330)
             except Exception as e:
                 print(f"Download failed ({e}); continuing without checkpoint")
 

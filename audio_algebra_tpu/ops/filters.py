@@ -105,6 +105,66 @@ def butter_sos(order: int, cutoff_hz, sample_rate, btype: str = "lowpass"):
     raise ValueError(f"unknown btype {btype!r}")
 
 
+# --------------------------------------------------- host-side (numpy) ---
+
+def biquad_coeffs_np(kind: str, cutoff_hz: float, sample_rate: int,
+                     q: float = 0.7071067811865476) -> tuple:
+    """Numpy twin of biquad_coeffs for the host data pipeline (per-item
+    random effects: eager device dispatches would dominate)."""
+    import numpy as _np
+
+    w0 = 2.0 * math.pi * float(cutoff_hz) / sample_rate
+    cw, sw = _np.cos(w0), _np.sin(w0)
+    alpha = sw / (2.0 * q)
+    if kind == "lowpass":
+        b = _np.array([(1 - cw) / 2, 1 - cw, (1 - cw) / 2])
+        a = _np.array([1 + alpha, -2 * cw, 1 - alpha])
+    elif kind == "highpass":
+        b = _np.array([(1 + cw) / 2, -(1 + cw), (1 + cw) / 2])
+        a = _np.array([1 + alpha, -2 * cw, 1 - alpha])
+    elif kind == "notch":
+        b = _np.array([1.0, -2 * cw, 1.0])
+        a = _np.array([1 + alpha, -2 * cw, 1 - alpha])
+    else:
+        raise ValueError(kind)
+    return b / a[0], a / a[0]
+
+
+def butter_sos_np(order: int, cutoff_hz, sample_rate: int,
+                  btype: str = "lowpass"):
+    """Numpy twin of butter_sos; returns (n_sections, 6) float64."""
+    import numpy as _np
+
+    if btype in ("lowpass", "highpass"):
+        n = order if order % 2 == 0 else order + 1
+        secs = []
+        for k in range(n // 2):
+            q = 1.0 / (2.0 * math.sin(math.pi * (2 * k + 1) / (2.0 * n)))
+            b, a = biquad_coeffs_np(btype, cutoff_hz, sample_rate, q=q)
+            secs.append(_np.concatenate([b, a]))
+        return _np.stack(secs)
+    if btype == "bandpass":
+        low, high = cutoff_hz
+        return _np.concatenate([
+            butter_sos_np(order, low, sample_rate, "highpass"),
+            butter_sos_np(order, high, sample_rate, "lowpass")], 0)
+    if btype == "bandstop":
+        low, high = cutoff_hz
+        center = math.sqrt(float(low) * float(high))
+        q = center / max(float(high) - float(low), 1e-3)
+        b, a = biquad_coeffs_np("notch", center, sample_rate, q=q)
+        sec = _np.concatenate([b, a])
+        return _np.stack([sec] * max(order // 2, 1))
+    raise ValueError(btype)
+
+
+def sosfilt_np(sos, x):
+    """scipy sosfilt over the last axis (host pipeline application)."""
+    import scipy.signal as _sps
+
+    return _sps.sosfilt(sos, x, axis=-1).astype(x.dtype)
+
+
 # ----------------------------------------------------------- application ---
 
 def _biquad_scan(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:

@@ -67,6 +67,31 @@ def _block_matrix(orig_freq: int, new_freq: int, lowpass_filter_width: int, roll
     return -u_lo, W, A, L, M
 
 
+def resample_np(x: np.ndarray, orig_freq: int, new_freq: int,
+                lowpass_filter_width: int = 6, rolloff: float = 0.99) -> np.ndarray:
+    """Host-side numpy twin of `resample` (same blocked-matmul kernel).
+
+    The data pipeline (load_audio) uses this: audio files have arbitrary
+    lengths, and a device resample would compile one program per length —
+    pathological on backends with slow compiles. Identical math, same
+    cached block matrix.
+    """
+    if orig_freq == new_freq:
+        return np.asarray(x)
+    halo, W, A, L, M = _block_matrix(orig_freq, new_freq, lowpass_filter_width, rolloff)
+    x = np.asarray(x, np.float32)
+    t_in = x.shape[-1]
+    t_out = int(math.ceil(t_in * L / M))
+    n_blocks = -(-t_out // L)
+    pad_left = halo
+    pad_right = max(0, (n_blocks - 1) * M + (W - halo) - t_in)
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)])
+    idx = np.arange(n_blocks)[:, None] * M + np.arange(W)[None, :]
+    frames = xp[..., idx]
+    y = frames @ A
+    return y.reshape(*x.shape[:-1], n_blocks * L)[..., :t_out]
+
+
 def resample(
     x: jnp.ndarray,
     orig_freq: int,

@@ -158,9 +158,11 @@ def load_audio(path: str, sr: int = 48000, verbose: bool = False) -> np.ndarray:
     if in_sr != sr:
         if verbose:
             print(f"load_audio: resampling {path} {in_sr} -> {sr}")
-        from ..ops.resample import resample
+        # host-side numpy resample: file lengths are arbitrary, so a device
+        # resample would compile one XLA program per length
+        from ..ops.resample import resample_np
 
-        audio = np.asarray(resample(audio, in_sr, sr))
+        audio = resample_np(audio, in_sr, sr)
     return audio
 
 

@@ -43,9 +43,8 @@ def unpack_audio_tup(audio_tup, verbose: bool = True):
     if audio.shape[0] == 1:
         audio = np.concatenate([audio, audio], axis=0)
     if sr != 48000:
-        from audio_algebra_tpu.ops.resample import resample
-        import jax.numpy as jnp
-        audio = np.asarray(resample(jnp.asarray(audio), sr, 48000))
+        from audio_algebra_tpu.ops.resample import resample_np
+        audio = resample_np(audio, sr, 48000)
     if verbose:
         print(f"unpack_audio_tup: sr={sr} shape={audio.shape}")
     return audio, {"sr": sr, "mono_in": mono_in, "dtype": str(in_dtype)}

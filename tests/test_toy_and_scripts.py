@@ -1,0 +1,79 @@
+"""Scientific toy verification + script-level smoke tests."""
+import json
+import subprocess
+import sys
+import numpy as np
+import pytest
+
+import aa_toy
+from audio_algebra_tpu.ops.loudness import (
+    integrated_loudness, loudness_normalize, maxabs_normalize)
+
+
+def test_toy_training_restores_algebra():
+    """The core scientific claim (reference aa-mixer-toy cell 58): after
+    VICReg training, encode-then-sum matches sum-then-encode much better
+    through h than through the raw nonlinear encoder."""
+    (model, params), history = aa_toy.train_toy(steps=1500, batch=256,
+                                                log_every=500, seed=0)
+    assert history[-1]["loss"] < history[0]["loss"] * 0.05
+    err = aa_toy.algebra_error(model, params)
+    # measured: 1.8x at 900 steps, 5.2x at 3000; require >1.5x at 1500
+    assert err["z_err"] < err["raw_err"] / 1.5, err
+    kmw = aa_toy.kmw_demo(model, params)
+    assert np.isfinite(kmw["kmw_err"])
+
+
+def test_twist_and_scrunch_is_nonlinear():
+    import jax.numpy as jnp
+    a = jnp.asarray([[0.3, 0.1]])
+    b = jnp.asarray([[-0.2, 0.4]])
+    lhs = aa_toy.twist_and_scrunch(a) + aa_toy.twist_and_scrunch(b)
+    rhs = aa_toy.twist_and_scrunch(a + b)
+    assert float(jnp.abs(lhs - rhs).max()) > 0.05
+
+
+# ------------------------------------------------------------ loudness ---
+
+def test_integrated_loudness_sine():
+    sr = 48000
+    t = np.arange(3 * sr) / sr
+    x = (0.25 * np.sin(2 * np.pi * 997 * t)).astype(np.float32)[None]
+    lufs = integrated_loudness(x, sr)
+    # -0.691 + 10log10(ms_k); K-weighting ~ +0.6dB at 1k; ballpark check
+    assert -18 < lufs < -12, lufs
+    # scaling by 0.5 drops loudness by ~6 dB
+    lufs2 = integrated_loudness(x * 0.5, sr)
+    assert abs((lufs - lufs2) - 6.0) < 0.5
+
+
+def test_loudness_normalize():
+    sr = 48000
+    t = np.arange(2 * sr) / sr
+    x = (0.02 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    y, before = loudness_normalize(x, target_lufs=-23.0, sample_rate=sr)
+    after = integrated_loudness(y, sr)
+    assert abs(after + 23.0) < 0.5, after
+
+
+def test_maxabs_normalize():
+    x = np.array([[0.1, -0.2, 0.05]], np.float32)
+    y, peak = maxabs_normalize(x, peak=0.95)
+    assert abs(np.abs(y).max() - 0.95) < 1e-6 and abs(peak - 0.2) < 1e-7
+
+
+# ------------------------------------------------------ script surface ---
+
+@pytest.mark.parametrize("script", ["destructo.py", "mirage.py",
+                                    "train_aa_mixer.py", "train_aa_effects.py",
+                                    "calc_effects_pca.py", "xae_dataset.py",
+                                    "effects_explorer.py", "aa_toy.py",
+                                    "bench.py"])
+def test_scripts_have_help(script):
+    r = subprocess.run([sys.executable, f"/root/repo/{script}", "--help"],
+                       capture_output=True, text=True, timeout=120,
+                       env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": "/root/repo",
+                            "HOME": "/root"})
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "usage" in r.stdout.lower() or "usage" in r.stderr.lower()
