@@ -102,6 +102,22 @@ def push_wandb_config(wandb_logger, args) -> None:
         pass  # logging must never take the run down
 
 
+def load_model_config(path: str | None) -> tuple:
+    """Read a model-config JSON -> (model_kwargs, args_dict).
+
+    Accepts either the nested form {"model_kwargs": {...}, "args_dict":
+    {...}} or a flat dict of model kwargs.
+    """
+    if not path:
+        return None, {}
+    import json
+
+    cfg = json.load(open(path))
+    if "model_kwargs" in cfg or "args_dict" in cfg:
+        return cfg.get("model_kwargs"), cfg.get("args_dict", {})
+    return cfg, {}
+
+
 # the reference defaults.ini:1-84 schema, importable for programmatic use/tests
 DEFAULTS = dict(
     name="aa-mixer",

@@ -56,14 +56,19 @@ def conv1d_mm(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
         return sl
 
     if c_in < 128:
+        # small-channel convs: ONE matmul with contraction K*Cin (the XLA
+        # conv op at these shapes hit minute-scale compiles on axon)
         stacked = jnp.concatenate([tap(i) for i in range(k)], axis=-1)
         y = jnp.matmul(stacked, kernel.reshape(k * c_in, c_out),
                        preferred_element_type=jnp.float32)
     else:
-        y = None
-        for i in range(k):
-            term = jnp.matmul(tap(i), kernel[i], preferred_element_type=jnp.float32)
-            y = term if y is None else y + term
+        # large-channel convs: the XLA conv op compiles fine and measures
+        # ~20% faster than shifted matmuls at the UNet's hot shapes
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(stride,), padding="SAME",
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC")) + \
+            (bias.astype(x.dtype) if bias is not None else 0.0)
     y = y.astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(x.dtype)

@@ -168,7 +168,8 @@ def sosfilt_np(sos, x):
 # ----------------------------------------------------------- application ---
 
 def _biquad_scan(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
-    """One biquad over (..., T) via transposed direct-form II lax.scan."""
+    """One biquad over (..., T) via transposed direct-form II lax.scan
+    (sequential; kept as the reference implementation / for gradients)."""
     b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
     a1, a2 = a[..., 1], a[..., 2]
     xt = jnp.moveaxis(x, -1, 0)  # (T, ...)
@@ -185,16 +186,47 @@ def _biquad_scan(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(yt, 0, -1)
 
 
-def sosfilt(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def _biquad_assoc(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """One biquad via `associative_scan` — O(log T) depth (TPU formulation).
+
+    The transposed-DF2 state recurrence is affine: s_t = M s_{t-1} + c(x_t)
+    with constant M = [[-a1, 1], [-a2, 0]] and c(x) = [(b1−a1·b0)x,
+    (b2−a2·b0)x]. Affine maps compose associatively, so the whole IIR
+    becomes a parallel prefix scan over (M, c) pairs — a 65536-step
+    sequential scan collapses to ~17 parallel sweeps of 2x2 matmuls.
+    Output y_t = b0·x_t + s1_{t-1}.
+    """
+    a1, a2 = a[..., 1], a[..., 2]
+    b0 = b[..., 0]
+    t = x.shape[-1]
+    M = jnp.asarray([[-a1, 1.0], [-a2, 0.0]], x.dtype)      # (2, 2)
+    c = jnp.stack([(b[..., 1] - a1 * b0) * x,
+                   (b[..., 2] - a2 * b0) * x], axis=-1)     # (..., T, 2)
+    Ms = jnp.broadcast_to(M, (*c.shape[:-1], 2, 2))
+
+    def combine(lhs, rhs):
+        M1, c1 = lhs
+        M2, c2 = rhs
+        return (jnp.matmul(M2, M1),
+                jnp.einsum("...ij,...j->...i", M2, c1) + c2)
+
+    _, states = jax.lax.associative_scan(combine, (Ms, c), axis=-3)
+    prev = jnp.concatenate([jnp.zeros_like(states[..., :1, :]),
+                            states[..., :-1, :]], axis=-2)
+    return b0 * x + prev[..., 0]
+
+
+def sosfilt(sos: jnp.ndarray, x: jnp.ndarray, method: str = "assoc") -> jnp.ndarray:
     """Apply cascaded second-order sections (n_sections, 6) to (..., T).
 
-    Sections run sequentially (inherent IIR dependency); all leading axes are
-    vectorised inside the scan. For static section counts the Python loop
-    unrolls at trace time into one fused scan chain.
+    method='assoc' (default) uses the parallel associative-scan biquad —
+    log-depth on TPU; method='scan' is the sequential reference. Sections
+    cascade sequentially (inherent), everything else is vectorised.
     """
+    kernel = _biquad_assoc if method == "assoc" else _biquad_scan
     n_sections = sos.shape[0]
     for i in range(n_sections):
-        x = _biquad_scan(x, sos[i, :3], sos[i, 3:])
+        x = kernel(x, sos[i, :3], sos[i, 3:])
     return x
 
 

@@ -74,12 +74,10 @@ def main():
     from audio_algebra_tpu.utils.audio_io import load_audio, save_audio, batch_it_crazy
     from audio_algebra_tpu.given_models import DVAEWrapper
 
-    model_kwargs, args_dict = None, {"demo_steps": args.steps,
-                                     "sample_size": args.chunk_size}
-    if args.model_config:
-        cfg = json.load(open(args.model_config))
-        model_kwargs = cfg.get("model_kwargs", cfg)
-        args_dict.update(cfg.get("args_dict", {}))
+    from audio_algebra_tpu.config import load_model_config
+    model_kwargs, extra_args = load_model_config(args.model_config)
+    args_dict = {"demo_steps": args.steps, "sample_size": args.chunk_size}
+    args_dict.update(extra_args)
 
     w = DVAEWrapper(args_dict=args_dict, model_kwargs=model_kwargs,
                     seed=args.seed)

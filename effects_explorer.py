@@ -23,7 +23,8 @@ import numpy as np
 def effect_directions(embs: dict) -> dict:
     """Mean time-averaged embedding per effect + pairwise displacement
     vectors (the FX2FX core, reference cells 146-157)."""
-    means = {name: np.asarray(e).mean(axis=(0, -1)) for name, e in embs.items()}
+    # e: (clips, knobs, d, n) -> mean over clips, knobs, time -> (d,)
+    means = {name: np.asarray(e).mean(axis=(0, 1, -1)) for name, e in embs.items()}
     dirs = {}
     for a in means:
         for b in means:
@@ -70,8 +71,9 @@ def main():
                       for f in files])
     print(f"{len(clips)} clips")
 
-    model_kwargs = json.load(open(args.model_config)) if args.model_config else None
-    w = DVAEWrapper(args_dict={'sample_size': args.chunk_size},
+    from audio_algebra_tpu.config import load_model_config
+    model_kwargs, extra_args = load_model_config(args.model_config)
+    w = DVAEWrapper(args_dict={'sample_size': args.chunk_size, **extra_args},
                     model_kwargs=model_kwargs)
     w.setup(gdrive=False)
 

@@ -119,8 +119,9 @@ def main():
     # 4. optional batch encode (reference cell 50)
     if args.encode and len(clips):
         from audio_algebra_tpu.given_models import DVAEWrapper
-        model_kwargs = json.load(open(args.model_config)) if args.model_config else None
-        w = DVAEWrapper(args_dict={'sample_size': args.chunk_size},
+        from audio_algebra_tpu.config import load_model_config
+        model_kwargs, extra_args = load_model_config(args.model_config)
+        w = DVAEWrapper(args_dict={'sample_size': args.chunk_size, **extra_args},
                         model_kwargs=model_kwargs)
         w.setup(gdrive=False)
         embs = {}
