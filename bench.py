@@ -98,6 +98,22 @@ def main():
     print(f"# compile={compile_s:.1f}s step={dt*1e3:.1f}ms "
           f"batch={args.batch} steps={args.steps} dtype={args.dtype} "
           f"emb={tuple(emb.shape)} out={tuple(fakes.shape)}", file=sys.stderr)
+    # secondary: encode-only throughput (the corpus-extraction config in
+    # BASELINE.json — calc_effects_pca / aa training run this path)
+    if not args.quick:
+        enc = jax.jit(lambda p, a: model.apply(p, a.astype(dtype),
+                                               method=DiffusionDVAE.encode_it))
+        e = enc(params, x)
+        fetch(e)
+        t0 = time.time()
+        for _ in range(args.iters):
+            e = enc(params, x)
+            fetch(e)
+        dt_enc = (time.time() - t0) / args.iters
+        print(f"# secondary encode_only_rt={audio_sec/dt_enc:.0f}x_realtime "
+              f"({dt_enc*1e3:.1f}ms/batch)", file=sys.stderr)
+    # physics note: the reference UNet is ~1.85 TFLOP/forward; 35 steps of
+    # it caps at ~4x realtime on one v5e even at 100% MXU — see BASELINE.md
 
 
 if __name__ == "__main__":

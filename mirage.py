@@ -205,6 +205,20 @@ def process_audio(audio_tups: Sequence = (), text_prompts: Sequence[str] = (),
     return wav_path, pca_path, out
 
 
+def load_examples_csv(path: str) -> list:
+    """CSV examples loader (reference mirage.py:458-469): rows of
+    [audio1, audio2, text1, text2, interp, cfg, steps, seed]-style presets."""
+    import csv
+
+    rows = []
+    with open(os.path.expanduser(path)) as f:
+        for row in csv.reader(f):
+            row = [c.strip() for c in row]
+            if row and not row[0].startswith("#"):
+                rows.append([None if c in ("", "None") else c for c in row])
+    return rows
+
+
 # ---------------------------------------------------------------- GUI ---
 
 def run_gui(args):
