@@ -147,6 +147,11 @@ DEFAULTS = dict(
     model_config="",
     start_method="spawn",
     demo_steps=250,
+    # rebuild additions (the reference hardcoded these in training code:
+    # max_epochs=40 aa_mixer.py:371, max_lr=1e-3 :375, hidden 64 :384)
+    max_epochs=40,
+    max_lr=1e-3,
+    hidden_dims=64,
 )
 
 

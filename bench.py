@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="tiny config (CI smoke; not a perf number)")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=35)
     ap.add_argument("--sample-size", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=3)

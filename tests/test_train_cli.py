@@ -1,0 +1,70 @@
+"""Integration tests for the training CLI surface: run + checkpoint + resume."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audio_algebra_tpu.config import write_defaults_ini
+from audio_algebra_tpu.utils.audio_io import write_wav
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def train_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traincli")
+    corpus = root / "corpus"
+    corpus.mkdir()
+    rng = np.random.default_rng(0)
+    sr = 48000
+    for i in range(4):
+        t = np.arange(sr // 2) / sr
+        x = 0.4 * np.sin(2 * np.pi * (200 + 100 * i) * t) \
+            + 0.05 * rng.standard_normal(sr // 2)
+        write_wav(str(corpus / f"c{i}.wav"), np.stack([x, x]).astype(np.float32), sr)
+    mc = root / "tiny.json"
+    json.dump({"capacity": 4, "c_mults": [2, 4], "strides": [4, 2],
+               "n_attn_layers": 0, "diffusion_c_mults": [8, 16]}, open(mc, "w"))
+    ini = root / "t.ini"
+    write_defaults_ini(str(ini), overrides=dict(
+        training_dir=str(corpus), batch_size=2, num_gpus=1, num_workers=0,
+        sample_size=2048, latent_dim=8, load_frac=1.0, demo_every=0,
+        checkpoint_every=0, model_config=str(mc), dvae_ckpt_file="/nonexistent",
+        max_epochs=2, hidden_dims=8))
+    return root, ini
+
+
+def _run(script, ini, cwd, extra=()):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    return subprocess.run(
+        [sys.executable, str(REPO / script), "--config-file", str(ini), *extra],
+        capture_output=True, text=True, timeout=900, cwd=str(cwd), env=env)
+
+
+def test_train_mixer_cli_and_resume(train_env):
+    root, ini = train_env
+    r = _run("train_aa_mixer.py", ini, root)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "training done." in r.stdout
+    # checkpoint written
+    runs = list((root / "runs").rglob("step_*"))
+    assert runs, "no checkpoint saved"
+    # resume from the run's ckpt dir
+    ckpt_dir = sorted(runs)[-1].parent
+    r2 = _run("train_aa_mixer.py", ini, root, extra=["--ckpt_path", str(ckpt_dir)])
+    assert r2.returncode == 0, r2.stderr[-800:]
+    assert "Resumed from" in r2.stdout, r2.stdout[-800:]
+
+
+def test_train_effects_cli(train_env):
+    root, ini = train_env
+    r = _run("train_aa_effects.py", ini, root)
+    assert r.returncode == 0, r.stderr[-800:]
+    logs = list((root / "runs" / "aa-effects").rglob("log.jsonl"))
+    assert logs
+    lines = [json.loads(l) for l in open(logs[0])]
+    assert any("train_loss" in l for l in lines)

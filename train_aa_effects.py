@@ -70,13 +70,14 @@ def main():
         given_model.ckpt_info['ckpt_path']
     given_model.setup(gdrive=False)
 
-    aa = AABundle(dims=args.latent_dim, hidden_dims=args.latent_dim,
+    aa = AABundle(dims=args.latent_dim,
+                  hidden_dims=getattr(args, 'hidden_dims', args.latent_dim),
                   seed=args.seed)
     loss_fn = make_effects_loss_fn(aa.module, given_model_encode_fn(given_model))
 
     max_epochs = getattr(args, 'max_epochs', 40000)
     total_steps = max(len(train_dl), 1) * min(max_epochs, 1000)
-    sched = optax.cosine_onecycle_schedule(total_steps, 1e-3)
+    sched = optax.cosine_onecycle_schedule(total_steps, getattr(args, 'max_lr', 1e-3))
     opt = optax.adam(sched)
 
     n_dev = min(args.num_gpus if args.num_gpus > 0 else 1, len(jax.devices()))

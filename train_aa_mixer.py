@@ -59,12 +59,13 @@ def main():
     given_model.setup(gdrive=False)
 
     # trainable AA model (reference :131)
-    aa = AABundle(dims=args.latent_dim, hidden_dims=args.latent_dim, seed=seed)
+    aa = AABundle(dims=args.latent_dim,
+                  hidden_dims=getattr(args, 'hidden_dims', args.latent_dim), seed=seed)
     loss_fn = make_mixer_loss_fn(aa.module, given_model_encode_fn(given_model))
 
     max_epochs = getattr(args, 'max_epochs', 40)
     total_steps = max(len(train_dl), 1) * max_epochs
-    sched = optax.cosine_onecycle_schedule(total_steps, 1e-3)
+    sched = optax.cosine_onecycle_schedule(total_steps, getattr(args, 'max_lr', 1e-3))
     opt = optax.adam(sched)
 
     n_dev = min(args.num_gpus if args.num_gpus > 0 else 1, len(jax.devices()))
