@@ -35,6 +35,7 @@ from .ops.phase import mag_dphase_encode, mag_dphase_decode
 from .models.dvae import DiffusionDVAE
 from .models.stacked import LatentAudioDiffusionAutoencoder, StackedAELatentDiffusionCond
 from .models.clap import CLAPModule
+from .utils.params import fast_random_params
 from .samplers.vddim import sample as vddim_sample, resample_diffusion
 from .samplers.kdiff import kdiff_sample
 
@@ -320,7 +321,9 @@ class DVAEWrapper(GivenModelClass):
         if self.params is None:
             length = example_len or self.global_args['sample_size']
             x = jnp.zeros((1, 2, length))
-            self.params = self.model.init(self.next_key(), x, jnp.zeros((1,)))
+            # eval_shape init: flax init would execute the full forward
+            self.params = fast_random_params(self.model, self.next_key(), x,
+                                             jnp.zeros((1,)))
             self.params_ema = self.params  # EMA starts as a copy
 
     def encode(self, waveform):
@@ -361,10 +364,15 @@ class DVAEWrapper(GivenModelClass):
         self.get_checkpoint(gdrive=gdrive)
         self._ensure_params()
         try:
-            from .checkpoint import load_torch_checkpoint, remap_ema_weights
-            sd = remap_ema_weights(load_torch_checkpoint(ckpt_file))
-            print(f"DVAE: loaded torch state dict with {len(sd)} tensors "
-                  "(conversion mapping is architecture-dependent)")
+            from .checkpoint import load_torch_checkpoint
+            from .convert_dvae import convert_dvae_state_dict
+
+            sd = load_torch_checkpoint(ckpt_file)
+            converted, hits, misses = convert_dvae_state_dict(sd, self.params)
+            self.params = jax.tree_util.tree_map(jnp.asarray, converted)
+            self.params_ema = self.params
+            print(f"DVAE: converted torch checkpoint — {hits} tensors mapped, "
+                  f"{len(misses)} unmapped (kept random)")
         except Exception as e:
             print(f"Sorry, exception = {e}. Going with random weights")
 
@@ -398,7 +406,8 @@ class StackedDiffAEWrapper(GivenModelClass):
     def _ensure_params(self, example_len: int = 4096):
         if self.params is None:
             x = jnp.zeros((1, 2, example_len))
-            self.params = self.model.init(self.next_key(), x, jnp.zeros((1,)))
+            self.params = fast_random_params(self.model, self.next_key(), x,
+                                             jnp.zeros((1,)))
 
     def encode(self, reals):
         reals = jnp.asarray(reals)
@@ -483,7 +492,8 @@ class DMAE1d(GivenModelClass):
     def _ensure_params(self, example_len: int = 2 ** 15):
         if self.params is None:
             x = jnp.zeros((1, 2, example_len))
-            self.params = self.model.init(self.next_key(), x, jnp.zeros((1,)))
+            self.params = fast_random_params(self.model, self.next_key(), x,
+                                             jnp.zeros((1,)))
 
     def _pre(self, waveform_in):
         waveform_in = jnp.asarray(waveform_in)
@@ -557,7 +567,7 @@ class RAVEWrapper(GivenModelClass):
     def _ensure_params(self, example_len: int = 65536):
         if self.params is None:
             x = jnp.zeros((1, 1, example_len))
-            self.params = self.model.init(self.next_key(), x)
+            self.params = fast_random_params(self.model, self.next_key(), x)
 
     def setup(self, gdrive: bool = False):
         self.get_checkpoint(gdrive=gdrive)
@@ -646,13 +656,14 @@ class CLAPDAE(GivenModelClass):
     def _ensure_params(self, example_len: int = 8192):
         if self.diffae_params is None:
             x = jnp.zeros((1, 2, example_len))
-            self.diffae_params = self.latent_diffae.init(
-                self.next_key(), x, jnp.zeros((1,)))
+            self.diffae_params = fast_random_params(
+                self.latent_diffae, self.next_key(), x, jnp.zeros((1,)))
         if self.ldm_params is None:
             z = jnp.zeros((1, self.latent_dim,
                            max(64, example_len // self.downsampling_ratio)))
             emb = jnp.zeros((1, 1, 512))
-            self.ldm_params = self.latent_diffusion_model.init(
+            self.ldm_params = fast_random_params(
+                self.latent_diffusion_model,
                 {"params": self.next_key(), "cfg": self.next_key()},
                 z, jnp.zeros((1,)), embedding=emb)
 

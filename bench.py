@@ -53,8 +53,10 @@ def main():
     audio = rng.standard_normal((args.batch, 2, args.sample_size)).astype(np.float32)
     audio = np.tanh(audio) * 0.5
 
-    key = jax.random.PRNGKey(0)
-    params = model.init(key, jnp.zeros((1, 2, args.sample_size)), jnp.zeros((1,)))
+    from audio_algebra_tpu.utils.params import fast_random_params
+
+    params = fast_random_params(model, 0, jnp.zeros((1, 2, args.sample_size)),
+                                jnp.zeros((1,)))
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
     noise = jax.random.normal(jax.random.PRNGKey(1),
                               (args.batch, 2, args.sample_size), dtype)
