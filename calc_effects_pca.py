@@ -28,16 +28,18 @@ def sorted_eig(cov: np.ndarray):
     return vals[order], vecs[:, order]
 
 
-def make_streaming_cov_step(encode_fn):
+def make_streaming_cov_step(encode_fn, mesh=None):
     """jitted: (cov_num, mean_num, count, batch) -> updated accumulators.
 
     Accumulates Σ x x^T and Σ x so the final covariance is exact (two-pass-
-    free): cov = (Σxx^T − N μμ^T)/(N−1).
+    free): cov = (Σxx^T − N μμ^T)/(N−1). With a mesh, the batch shards over
+    the 'data' axis (each device encodes its shard; the (d,d) partial
+    products all-reduce via the sharding — corpus-scale extraction rides
+    ICI, per the north-star).
     """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
     def step(cov_num, mean_num, count, batch):
         ys = encode_fn(batch)                       # (b, d, n)
         b, d, n = ys.shape
@@ -48,7 +50,21 @@ def make_streaming_cov_step(encode_fn):
         count = count + b * n
         return cov_num, mean_num, count
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data", None, None))
+    jitted = jax.jit(step, in_shardings=(repl, repl, repl, batch_sh),
+                     out_shardings=(repl, repl, repl))
+
+    def run(cov_num, mean_num, count, batch):
+        batch = jax.device_put(jnp.asarray(batch), batch_sh)
+        return jitted(cov_num, mean_num, count, batch)
+
+    return run
 
 
 def finalize_cov(cov_num, mean_num, count) -> np.ndarray:
@@ -86,7 +102,11 @@ def main():
     cov_num = jnp.zeros((d, d))
     mean_num = jnp.zeros((d,))
     count = jnp.zeros(())
-    step_fn = make_streaming_cov_step(given_model_encode_fn(given_model))
+    import jax
+    from audio_algebra_tpu.parallel import make_mesh
+    n_dev = min(args.num_gpus if args.num_gpus > 0 else 1, len(jax.devices()))
+    mesh = make_mesh(n_devices=n_dev) if n_dev > 1 else None
+    step_fn = make_streaming_cov_step(given_model_encode_fn(given_model), mesh)
 
     for i, batch in enumerate(train_dl):
         cov_num, mean_num, count = step_fn(cov_num, mean_num, count,
