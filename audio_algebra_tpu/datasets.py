@@ -379,18 +379,39 @@ class DataLoader:
             for bidx in batches:
                 yield self._collate([self.dataset[int(i)] for i in bidx])
             return
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.num_workers * 2)
-        stop = object()
+        # True N-thread prefetch: num_workers threads each pull the next
+        # unclaimed batch index and deposit (seq, batch); the consumer
+        # reorders so iteration order matches num_workers=0 exactly.
+        n_workers = min(self.num_workers, len(batches))
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=n_workers * 2)
+        next_idx = iter(range(len(batches)))
+        lock = threading.Lock()
 
         def worker():
-            for bidx in batches:
-                q.put(self._collate([self.dataset[int(i)] for i in bidx]))
-            q.put(stop)
+            while True:
+                with lock:
+                    seq = next(next_idx, None)
+                if seq is None:
+                    q.put((None, None))
+                    return
+                q.put((seq, self._collate(
+                    [self.dataset[int(i)] for i in batches[seq]])))
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
+        buffered: dict = {}
+        want, done = 0, 0
+        while done < n_workers:
+            seq, item = q.get()
+            if seq is None:
+                done += 1
+                continue
+            buffered[seq] = item
+            while want in buffered:
+                yield buffered.pop(want)
+                want += 1
+        while want in buffered:   # drain any stragglers
+            yield buffered.pop(want)
+            want += 1

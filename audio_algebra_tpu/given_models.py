@@ -119,9 +119,12 @@ class GivenModelClass:
         if url and ckpt_file:
             print(f"Downloading to {ckpt_file}")
             try:
+                # argv list, not a shell string: ckpt_info values can come
+                # from config/CLI and must not reach a shell
                 subprocess.run(
-                    f"curl -L --connect-timeout 5 --max-time 300 {url} -o {ckpt_file}",
-                    shell=True, check=True, timeout=330)
+                    ["curl", "-L", "--connect-timeout", "5", "--max-time",
+                     "300", url, "-o", ckpt_file],
+                    check=True, timeout=330)
             except Exception as e:
                 print(f"Download failed ({e}); continuing without checkpoint")
 
@@ -434,7 +437,12 @@ class StackedDiffAEWrapper(GivenModelClass):
             self.params, noise, small_reps)
 
     def decode_stage2(self, first_stage_sampled, steps: int = 100):
-        """large reps -> audio (reference :400-402)."""
+        """large reps -> audio (reference :400-402).
+
+        `steps` is accepted for signature parity with the reference's
+        `decode_stage2(first_stage_sampled, steps=100)` and is UNUSED,
+        exactly as there: stage 2 is a plain AE decode with no sampling
+        loop (the diffusion happens in decode_stage1to2)."""
         fn = self._cached_jit("stage2", lambda p, z: self.model.apply(
             p, z, method=LatentAudioDiffusionAutoencoder.decode_first_stage))
         return fn(self.params, jnp.clip(first_stage_sampled, -1, 1))

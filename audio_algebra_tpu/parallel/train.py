@@ -84,6 +84,10 @@ def make_data_parallel_step(loss_fn: Callable, optimizer, mesh: Mesh,
         return jitted(params, opt_state, *batch_args)
 
     run.inner = jitted
+    # the optimizer actually used inside the step (MultiSteps-wrapped when
+    # accum_steps > 1) — callers MUST init/checkpoint opt_state from this,
+    # not from the optimizer they passed in
+    run.optimizer = optimizer
     return run
 
 

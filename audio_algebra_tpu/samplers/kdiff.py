@@ -91,7 +91,16 @@ def kdiff_sample(model_fn: Callable, latents: jnp.ndarray, steps: int,
                  sigma_max: float = 50.0, **extra_args) -> jnp.ndarray:
     """The reference's `sample` wrapper (StackedAELatentDiffusionCond.py:119-138):
     scale unit noise by sigma_max, run DPM++(2M) over polyexponential sigmas,
-    clamp to [-1, 1]."""
+    clamp to [-1, 1].
+
+    `eta` is accepted for call-signature parity with the reference's
+    `sample(model, latents, steps, eta, ...)` and is UNUSED, exactly as
+    there: DPM++(2M) is deterministic and k-diffusion's sample_dpmpp_2m
+    takes no eta. Pass 0.0 (any other value changes nothing)."""
+    if eta:
+        import warnings
+        warnings.warn("kdiff_sample ignores eta (DPM++(2M) is deterministic; "
+                      "matches reference behaviour)", stacklevel=2)
     denoiser = VDenoiser(model_fn)
     sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max)
     x = latents * sigmas[0]

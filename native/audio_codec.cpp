@@ -123,11 +123,14 @@ extern "C" long long aa_read_wav(const char* path, float** out,
     while (fread(chdr, 1, 8, f) == 8) {
         uint32_t size = rd_u32(chdr + 4);
         if (!memcmp(chdr, "fmt ", 4)) {
+            if (size < 16) { fclose(f); return -3; }  // malformed fmt chunk
             std::vector<unsigned char> p(size);
             if (fread(p.data(), 1, size, f) != size) { fclose(f); return -3; }
             fmt = rd_u16(&p[0]); ch = rd_u16(&p[2]); sr = rd_u32(&p[4]);
             bits = rd_u16(&p[14]);
-            if (fmt == 0xFFFE && size >= 40) fmt = rd_u16(&p[24]);
+            // WAVE_FORMAT_EXTENSIBLE: subformat tag lives at offset 24;
+            // only read it when the chunk actually extends that far
+            if (fmt == 0xFFFE && size >= 26) fmt = rd_u16(&p[24]);
         } else if (!memcmp(chdr, "data", 4)) {
             data.resize(size);
             if (fread(data.data(), 1, size, f) != size) { fclose(f); return -3; }
@@ -142,7 +145,8 @@ extern "C" long long aa_read_wav(const char* path, float** out,
     if (fmt == 3 && bits == 32) {
         n = data.size() / 4;
         dst = (float*)malloc(sizeof(float) * n);
-        memcpy(dst, data.data(), data.size());
+        memcpy(dst, data.data(), n * 4);  // n*4, not data.size(): a truncated
+                                          // data chunk must not overflow dst
     } else if (fmt == 1 && bits == 16) {
         n = data.size() / 2;
         dst = (float*)malloc(sizeof(float) * n);

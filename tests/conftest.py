@@ -18,8 +18,24 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+import pathlib  # noqa: E402
+import subprocess  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent XLA compilation cache: model/wrapper compiles dominate suite
+# time; cached runs cut the slow half from minutes to seconds.
+_cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# The native codec .so is deliberately NOT committed (unreviewable binary);
+# build it on demand so codec tests run everywhere the toolchain exists.
+_native = pathlib.Path(__file__).resolve().parents[1] / "native"
+if not (_native / "libaacodec.so").exists():
+    subprocess.run(["make", "-C", str(_native)], check=False,
+                   capture_output=True)
 
 
 @pytest.fixture

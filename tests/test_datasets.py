@@ -110,3 +110,19 @@ def test_dataloader_dict_collate_and_prefetch(corpus):
     batch = next(iter(dl))
     assert batch["a1"].shape == (2, 2, 4096)
     assert isinstance(batch["e1"], list) and len(batch["e1"]) == 2
+
+
+def test_dataloader_multiworker_matches_serial(corpus):
+    # N prefetch threads must yield the same batches in the same order as
+    # the serial path (num_workers was cosmetic before — one thread only)
+    # deterministic items (no random crop / phase flip) so any mismatch is
+    # the loader's fault, not per-item aug randomness
+    ds = AudioDataset([corpus], sample_size=4096, random_crop=False,
+                      augs='Stereo()')
+    serial = list(DataLoader(ds, batch_size=2, shuffle=True, seed=7))
+    for nw in (1, 3, 8):
+        threaded = list(DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                                   num_workers=nw))
+        assert len(threaded) == len(serial)
+        for a, b in zip(serial, threaded):
+            np.testing.assert_array_equal(a, b)

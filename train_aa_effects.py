@@ -85,7 +85,8 @@ def main():
     step_fn = make_data_parallel_step(loss_fn, opt, mesh,
                                       accum_steps=args.accum_batches)
     params = replicate_state(aa.params, mesh)
-    opt_state = replicate_state(opt.init(aa.params), mesh)
+    # init from the step's (possibly MultiSteps-wrapped) optimizer
+    opt_state = replicate_state(step_fn.optimizer.init(aa.params), mesh)
 
     logger = RunLogger(project='aa-effects', name=args.name, config=args.to_dict())
     logger.push_config(args)
@@ -112,6 +113,7 @@ def main():
                 if args.checkpoint_every and step and step % args.checkpoint_every == 0:
                     save_checkpoint(f"{logger.dir}/ckpt",
                                     {"params": jax.device_get(params),
+                                     "opt_state": jax.device_get(opt_state),
                                      "step": step}, step=step)
                 step += 1
     except Exception:
@@ -121,8 +123,9 @@ def main():
         raise
     finally:
         save_checkpoint(f"{logger.dir}/ckpt",
-                        {"params": jax.device_get(params), "step": step},
-                        step=step)
+                        {"params": jax.device_get(params),
+                         "opt_state": jax.device_get(opt_state),
+                         "step": step}, step=step)
         logger.finish()
 
 

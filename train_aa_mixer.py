@@ -78,19 +78,36 @@ def main():
         opt, mesh, accum_steps=args.accum_batches)
 
     params = replicate_state(aa.params, mesh)
-    opt_state = replicate_state(opt.init(aa.params), mesh)
+    # init from the step's (possibly MultiSteps-wrapped) optimizer so the
+    # state matches what optimizer.update inside the step expects
+    opt_state_template = step_fn.optimizer.init(aa.params)
+    opt_state = replicate_state(opt_state_template, mesh)
 
-    # resume (reference ckpt_path, :160)
+    # resume (reference ckpt_path, :160). Restores params AND opt_state so
+    # Adam moments / accumulation / the OneCycle schedule position survive
+    # the restart (Lightning resume restores optimizer state too).
     start_step = 0
     if args.ckpt_path:
         ck = latest_checkpoint(args.ckpt_path) or args.ckpt_path
         try:
-            restored = load_checkpoint(ck, {"params": aa.params, "step": 0})
+            restored = load_checkpoint(
+                ck, {"params": aa.params, "step": 0,
+                     "opt_state": jax.device_get(opt_state_template)})
             params = replicate_state(restored["params"], mesh)
+            if restored.get("opt_state") is not None:
+                opt_state = replicate_state(restored["opt_state"], mesh)
             start_step = int(restored["step"])
             print(f"Resumed from {ck} at step {start_step}")
         except Exception as e:
-            print(f"Resume failed ({e}); starting fresh")
+            # older checkpoints have no opt_state entry — restore params only
+            try:
+                restored = load_checkpoint(ck, {"params": aa.params, "step": 0})
+                params = replicate_state(restored["params"], mesh)
+                start_step = int(restored["step"])
+                print(f"Resumed (params only, no opt_state) from {ck} "
+                      f"at step {start_step}")
+            except Exception:
+                print(f"Resume failed ({e}); starting fresh")
 
     logger = RunLogger(project='aa-mixer-vicreg', name=args.name,
                        config=args.to_dict())
@@ -113,9 +130,12 @@ def main():
                 logger.log(out, step=step)
             if args.checkpoint_every and step and step % args.checkpoint_every == 0:
                 save_checkpoint(f"{logger.dir}/ckpt", {
-                    "params": jax.device_get(params), "step": step}, step=step)
+                    "params": jax.device_get(params),
+                    "opt_state": jax.device_get(opt_state),
+                    "step": step}, step=step)
             step += 1
     save_checkpoint(f"{logger.dir}/ckpt", {"params": jax.device_get(params),
+                                           "opt_state": jax.device_get(opt_state),
                                            "step": step}, step=step)
     logger.finish()
     print("training done.")
