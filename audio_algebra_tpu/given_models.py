@@ -451,15 +451,21 @@ class StackedDiffAEWrapper(GivenModelClass):
         return self.decode_stage2(self.decode_stage1to2(reps, steps=steps), steps=steps)
 
     def setup(self, gdrive: bool = True):
+        """Download/verify + pour the torch checkpoint into flax params,
+        with the EMA swap (reference given_models.py:404-422: strict load
+        then diffusion=diffusion_ema / latent_encoder=latent_encoder_ema)."""
         print(f"{self.name}: attempting to load checkpoint "
               f"{self.ckpt_info['ckpt_path']}")
         self.get_checkpoint(gdrive=gdrive)
         self._ensure_params()
         try:
-            from .checkpoint import load_torch_checkpoint, remap_ema_weights
-            sd = remap_ema_weights(load_torch_checkpoint(
-                os.path.expanduser(self.ckpt_info['ckpt_path'])))
+            from .checkpoint import load_torch_checkpoint
+            from .convert import convert_stacked_state_dict
+            sd = load_torch_checkpoint(
+                os.path.expanduser(self.ckpt_info['ckpt_path']))
             print(f"{self.name}: loaded torch state dict ({len(sd)} tensors)")
+            self.params, hits, _ = convert_stacked_state_dict(sd, self.params)
+            self._jit_cache.clear()     # drop programs closed over old params
         except Exception as e:
             print(f"Sorry, exception = {e}. Going with random weights")
         print(f"{self.name}: Setup completed.")
@@ -537,14 +543,21 @@ class DMAE1d(GivenModelClass):
         return self.decode(self.encode(waveform_in))
 
     def setup(self, gdrive: bool = True):
+        """Load + pour the `model_state_dict` checkpoint (reference
+        given_models.py:500-506 loads it strict=True onto the torch module;
+        here the re-architected towers take every shape-matching tensor and
+        report the remainder)."""
         print(f"{self.name}: attempting to load checkpoint "
               f"{os.path.expanduser(self.ckpt_info['ckpt_path'])}")
         self.get_checkpoint(gdrive=gdrive)
         self._ensure_params()
         try:
             from .checkpoint import load_torch_checkpoint
+            from .convert import convert_dmae_state_dict
             sd = load_torch_checkpoint(os.path.expanduser(self.ckpt_info['ckpt_path']))
             print(f"{self.name}: loaded torch state dict ({len(sd)} tensors)")
+            self.params, hits, _ = convert_dmae_state_dict(sd, self.params)
+            self._jit_cache.clear()
         except Exception as e:
             print(f"Sorry, exception = {e}. Going with random weights")
 
@@ -578,14 +591,33 @@ class RAVEWrapper(GivenModelClass):
             self.params = fast_random_params(self.model, self.next_key(), x)
 
     def setup(self, gdrive: bool = False):
+        """Load RAVE weights: TorchScript archives (.ts) via torch.jit.load
+        -> state_dict (reference given_models.py:539-541), Lightning .ckpt
+        via its 'state_dict' key (:542-543); both pour by shape signature."""
         self.get_checkpoint(gdrive=gdrive)
-        ext = Path(self.ckpt_info['ckpt_path']).suffix
+        path = os.path.expanduser(self.ckpt_info['ckpt_path'])
+        ext = Path(path).suffix
         if self.debug:
             print("extension =", ext)
-        if ext in ('.ts', ''):
-            print("RAVEWrapper: TorchScript archives need torch.jit; "
-                  "using JAX RAVE with current weights.")
         self._ensure_params()
+        sd = None
+        try:
+            if ext in ('.ts', '') and os.path.exists(path):
+                from .convert import load_torchscript_state_dict
+                sd = load_torchscript_state_dict(path)
+            elif ext == '.ckpt' and os.path.exists(path):
+                from .checkpoint import load_torch_checkpoint
+                sd = load_torch_checkpoint(path)
+            elif os.path.exists(path):
+                print(f"Sorry, we don't know how to load {ext} checkpoint "
+                      "files. Weights will be uninitialized.")
+        except Exception as e:
+            print(f"Sorry, exception = {e}. Going with random weights")
+        if sd:
+            print(f"{self.name}: loaded state dict ({len(sd)} tensors)")
+            from .convert import convert_rave_state_dict
+            self.params, hits, _ = convert_rave_state_dict(sd, self.params)
+            self._jit_cache.clear()
 
     def encode(self, waveform, **kwargs):
         waveform = jnp.asarray(waveform)
@@ -764,14 +796,19 @@ class CLAPDAE(GivenModelClass):
         LATENT_DIFFAE_CKPT, CLAP_CKPT, CLAPDAE_CKPT_{22s,66s}; random
         weights when absent."""
         print("\n ====== Setting up StackedAELatentCond ======")
-        from .checkpoint import load_torch_checkpoint, remap_ema_weights
+        from .checkpoint import load_torch_checkpoint
+        from .convert import (convert_stacked_state_dict,
+                              convert_ldm_state_dict)
 
+        self._ensure_params()
         if not self.latent_diffae_setup:
             path = os.environ.get('LATENT_DIFFAE_CKPT', '')
             if path and os.path.exists(os.path.expanduser(path)):
                 try:
-                    sd = remap_ema_weights(load_torch_checkpoint(path))
+                    sd = load_torch_checkpoint(path)
                     print(f"Loaded Latent DiffAE state dict ({len(sd)} tensors)")
+                    self.diffae_params, _, _ = convert_stacked_state_dict(
+                        sd, self.diffae_params)
                 except Exception as e:
                     print(f"Sorry, exception = {e}. Going with random weights")
             self.latent_diffae_setup = True
@@ -791,10 +828,20 @@ class CLAPDAE(GivenModelClass):
                 sd = load_torch_checkpoint(ckpt_path)
                 print(f"Loaded StackedAELatentDiffusionCond state dict "
                       f"({len(sd)} tensors)")
+                self.ldm_params, _, _ = convert_ldm_state_dict(
+                    sd, self.ldm_params)
+                # the generator ckpt also carries the stage-1 stack under
+                # latent_ae.* (Lightning saves submodules); pour it too so a
+                # single ckpt restores the full generate() path
+                latent_ae_sd = {k[len("latent_ae."):]: v for k, v in sd.items()
+                                if k.startswith("latent_ae.")}
+                if latent_ae_sd:
+                    self.diffae_params, _, _ = convert_stacked_state_dict(
+                        latent_ae_sd, self.diffae_params)
+                self._jit_cache.clear()
             except Exception as e:
                 print(f"Sorry, exception = {e}. Going with random weights")
         else:
             print("StackedAELatentDiffusionCond: starting from scratch!")
-        self._ensure_params()
         print(f"Success! {self.name} is ready to go.")
         self.already_setup = True

@@ -207,5 +207,11 @@ def upsample_to(cond: jnp.ndarray, t_len: int) -> jnp.ndarray:
     b, n, c = cond.shape
     if n == t_len:
         return cond
+    if t_len % n == 0:
+        # integer upsample factor: broadcast instead of gather (gathers at
+        # (B, 65536, C) measurably drag on the TPU; broadcast is free-ish)
+        r = t_len // n
+        return jnp.broadcast_to(cond[:, :, None, :], (b, n, r, c)) \
+                  .reshape(b, t_len, c)
     idx = (jnp.arange(t_len) * n) // t_len
     return cond[:, idx, :]

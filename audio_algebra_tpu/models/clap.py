@@ -149,19 +149,27 @@ class CLAPModule:
             self._text_jit = jax.jit(self.text_tower.apply)
 
     def load_ckpt(self, ckpt=None, model_id=None, verbose: bool = False):
-        """laion_clap signature parity; converts a torch CLAP state dict when
-        one is supplied, else keeps the current (random) weights."""
+        """laion_clap signature parity (reference given_models.py:682-688).
+        Pours a torch laion_clap state dict into the towers: projection
+        MLPs map explicitly (audio_projection.{0,2} -> proj1/proj2,
+        text_projection.2 -> proj) and branch tensors pour by shape where
+        the widths align; Swin-windowed HTSAT interior tensors that cannot
+        map onto the full-attention rebuild are counted and reported, never
+        silently dropped."""
         if ckpt is None:
             if verbose:
                 print("CLAPModule: no checkpoint provided, keeping weights")
             return
         from ..checkpoint import load_torch_checkpoint
+        from ..convert import convert_clap_state_dict
 
         try:
             sd = load_torch_checkpoint(ckpt)
             if verbose:
-                print(f"CLAPModule: loaded {len(sd)} tensors from {ckpt} "
-                      "(mapping onto towers where names align)")
+                print(f"CLAPModule: loaded {len(sd)} tensors from {ckpt}")
+            self._ensure_init()
+            self.audio_params, self.text_params, hits, misses = \
+                convert_clap_state_dict(sd, self.audio_params, self.text_params)
         except Exception as e:   # mirror reference fallback (given_models.py:354)
             print(f"CLAPModule: {e}. Going with random weights")
 

@@ -1,0 +1,240 @@
+"""Checkpoint conversion tests for the rest of the pretrained zoo
+(stacked diffae, LDM generator, DMAE, RAVE torchscript, CLAP towers),
+mirroring tests/test_convert_dvae.py's synthetic-state-dict approach:
+build a torch-layout state dict from known values, convert, and assert the
+values landed in the flax tree."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_algebra_tpu.convert import (
+    _flat_params, convert_stacked_state_dict, convert_ldm_state_dict,
+    convert_dmae_state_dict, convert_rave_state_dict,
+    load_torchscript_state_dict, convert_clap_state_dict)
+from audio_algebra_tpu.utils.params import fast_random_params
+
+
+def _torch_layout(arr: np.ndarray) -> np.ndarray:
+    """Inverse of checkpoint.torch_to_flax_array."""
+    if arr.ndim == 3:
+        return np.transpose(arr, (2, 1, 0))
+    if arr.ndim == 2:
+        return np.transpose(arr, (1, 0))
+    return arr
+
+
+def _flat_dict(tree):
+    return {"/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                     for p in path): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _synthetic_sd(params, top_map, rng, ema_prefix=None):
+    """Build {torch_name: torch-layout array} + {flax_path: target} from a
+    flax template. top_map: flax_top_module -> torch prefix."""
+    sd, target = {}, {}
+    for path, shape in _flat_params(params):
+        parts = path.split("/")
+        top = parts[1] if parts[0] == "params" else parts[0]
+        if top not in top_map:
+            continue
+        val = rng.standard_normal(shape).astype(np.float32)
+        target[path] = val
+        prefix = top_map[top]
+        if ema_prefix and top in ema_prefix:
+            prefix = ema_prefix[top]
+        suffix = "weight" if len(shape) >= 2 else "bias"
+        sd[f"{prefix}.{'.'.join(parts[1:])}.{suffix}"] = _torch_layout(val)
+    return sd, target
+
+
+def _assert_mostly_landed(converted, target, frac=0.7):
+    flat = _flat_dict(converted)
+    matched = sum(np.allclose(flat[p], v, atol=1e-6)
+                  for p, v in target.items())
+    assert matched / max(len(target), 1) > frac, (matched, len(target))
+
+
+def _tiny_stacked():
+    from audio_algebra_tpu.models.stacked import LatentAudioDiffusionAutoencoder
+    m = LatentAudioDiffusionAutoencoder(
+        ae_capacity=4, ae_c_mults=(2, 4), ae_strides=(4, 4),
+        latent_channels=8, latent_multipliers=(1, 2, 4),
+        latent_num_blocks=(1, 1), factors=(2, 2),
+        diffusion_c_mults=(8, 8), diffusion_depth=2)
+    p = fast_random_params(m, 0, jnp.zeros((1, 2, 2048)), jnp.zeros((1,)))
+    return m, p
+
+
+def test_convert_stacked_roundtrip_with_ema_swap():
+    _, params = _tiny_stacked()
+    rng = np.random.default_rng(3)
+    # diffusion + latent_encoder arrive under *_ema prefixes (the reference
+    # swaps EMA copies in at setup, given_models.py:414-416); the
+    # autoencoder has no EMA twin
+    sd, target = _synthetic_sd(
+        params,
+        {"autoencoder": "autoencoder", "latent_encoder": "latent_encoder",
+         "diffusion": "diffusion"},
+        rng,
+        ema_prefix={"latent_encoder": "latent_encoder_ema",
+                    "diffusion": "diffusion_ema"})
+    converted, hits, misses = convert_stacked_state_dict(sd, params)
+    assert hits == len(target), (hits, len(target), misses[:5])
+    assert not misses
+    _assert_mostly_landed(converted, target)
+
+
+def test_convert_stacked_warns_on_zero_hits(capsys):
+    _, params = _tiny_stacked()
+    sd = {"diffusion.bogus.weight": np.zeros((7, 7, 7), np.float32)}
+    _, hits, misses = convert_stacked_state_dict(sd, params)
+    assert hits == 0 and misses
+    assert "NOT applied" in capsys.readouterr().out
+
+
+def test_convert_ldm_prefers_ema_model():
+    from audio_algebra_tpu.models.stacked import StackedAELatentDiffusionCond
+    m = StackedAELatentDiffusionCond(
+        latent_dim=4, channels=8, multipliers=(1, 2, 2), factors=(1, 2),
+        num_blocks=(1, 1), attentions=(0, 0, 1))
+    params = fast_random_params(
+        m, {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 4, 64)), jnp.zeros((1,)),
+        embedding=jnp.zeros((1, 1, 512)))
+    rng = np.random.default_rng(5)
+    sd_online, _ = _synthetic_sd(params, {"diffusion": "diffusion"}, rng)
+    # ema_pytorch layout: diffusion_ema.ema_model.* should WIN over the
+    # online diffusion.* copy (reference inference uses the EMA copy)
+    rng2 = np.random.default_rng(6)
+    sd_ema, target_ema = _synthetic_sd(
+        params, {"diffusion": "diffusion_ema.ema_model"}, rng2)
+    sd = {**sd_online, **sd_ema,
+          "diffusion_ema.initted": np.array(True),
+          "diffusion_ema.step": np.array(100)}
+    converted, hits, misses = convert_ldm_state_dict(sd, params)
+    assert hits == len(target_ema), (hits, len(target_ema), misses[:5])
+    _assert_mostly_landed(converted, target_ema)
+
+
+def test_convert_dmae_partial_pour():
+    from audio_algebra_tpu.models.dmae import DiffusionAE1d
+    m = DiffusionAE1d(latent_dim=4, n_mels=8, unet_c_mults=(8, 8),
+                      n_attn_layers=1, downsample=64)
+    params = fast_random_params(m, 0, jnp.zeros((1, 2, 1024)),
+                                jnp.zeros((1,)))
+    rng = np.random.default_rng(9)
+    sd, target = _synthetic_sd(
+        params, {"encoder": "encoder", "unet": "unet"}, rng)
+    converted, hits, misses = convert_dmae_state_dict(sd, params)
+    assert hits == len(target), (hits, len(target), misses[:5])
+    _assert_mostly_landed(converted, target)
+
+
+def test_rave_torchscript_load_and_pour(tmp_path):
+    """VERDICT item 3: script a tiny torch module whose encoder/decoder
+    tensors shape-match the JAX RAVE, save .ts, prove setup pours it."""
+    torch = pytest.importorskip("torch")
+    from audio_algebra_tpu.models.rave import RAVE
+    from audio_algebra_tpu.given_models import RAVEWrapper
+
+    model = RAVE(latent_dim=4, n_bands=4, capacity=4, strides=(2, 2))
+    params = fast_random_params(model, 0, jnp.zeros((1, 1, 1024)))
+
+    # build a scripted torch module carrying encoder./decoder. parameters
+    # in torch layout, with values we can recognise after the pour
+    rng = np.random.default_rng(11)
+    tensors, target = {}, {}
+    for path, shape in _flat_params(params):
+        parts = path.split("/")
+        side = "encoder" if parts[1].startswith("enc") else \
+               "decoder" if parts[1].startswith("dec") else None
+        if side is None:
+            continue
+        val = rng.standard_normal(shape).astype(np.float32)
+        target[path] = val
+        suffix = "weight" if len(shape) >= 2 else "bias"
+        tname = f"{side}.{'_'.join(parts[1:])}.{suffix}"
+        tensors[tname] = _torch_layout(val)
+
+    class Half(torch.nn.Module):
+        def __init__(self, prefix):
+            super().__init__()
+            for name, arr in tensors.items():
+                if name.startswith(prefix + "."):
+                    pname = name[len(prefix) + 1:].replace(".", "_")
+                    self.register_parameter(
+                        pname, torch.nn.Parameter(torch.from_numpy(arr)))
+
+        def forward(self, x):
+            return x
+
+    class TinyRave(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = Half("encoder")
+            self.decoder = Half("decoder")
+
+        def forward(self, x):
+            return self.decoder(self.encoder(x))
+
+    ts_path = tmp_path / "tiny_rave.ts"
+    torch.jit.save(torch.jit.script(TinyRave()), str(ts_path))
+
+    sd = load_torchscript_state_dict(str(ts_path))
+    assert len(sd) == len(tensors)
+    converted, hits, misses = convert_rave_state_dict(sd, params)
+    assert hits == len(target), (hits, len(target), misses[:5])
+    _assert_mostly_landed(converted, target)
+
+    # end-to-end through the wrapper: setup() must pour the weights
+    w = RAVEWrapper(checkpoint_file=str(ts_path), latent_dim=4, n_bands=4)
+    w.model = model
+    w.params = params
+    w.ckpt_info["ckpt_path"] = str(ts_path)
+    w.ckpt_info["ckpt_url"] = ""
+    w.setup()
+    _assert_mostly_landed(w.params, target)
+
+
+def test_convert_clap_projections():
+    from audio_algebra_tpu.models.clap import CLAPModule
+
+    clap = CLAPModule(audio_cfg={"width": 32, "depth": 1, "heads": 2,
+                                 "max_patches": 64},
+                      text_cfg={"width": 32, "depth": 1, "heads": 2})
+    clap._ensure_init(4096)
+    rng = np.random.default_rng(13)
+
+    def dense_like(tree, path):
+        flat = _flat_dict(tree)
+        return flat[path].shape
+
+    a_flat = _flat_dict(clap.audio_params)
+    t_flat = _flat_dict(clap.text_params)
+    p1k = a_flat["params/proj1/kernel"].shape
+    p2k = a_flat["params/proj2/kernel"].shape
+    tpk = t_flat["params/proj/kernel"].shape
+
+    p1 = rng.standard_normal(p1k).astype(np.float32)
+    p2 = rng.standard_normal(p2k).astype(np.float32)
+    tp = rng.standard_normal(tpk).astype(np.float32)
+    sd = {
+        "audio_projection.0.weight": _torch_layout(p1),
+        "audio_projection.0.bias": rng.standard_normal(p1k[1]).astype(np.float32),
+        "audio_projection.2.weight": _torch_layout(p2),
+        "text_projection.2.weight": _torch_layout(tp),
+        # a Swin tensor that cannot map (wrong shape) -> reported missed
+        "audio_branch.layers.0.blocks.0.attn.qkv.weight":
+            rng.standard_normal((96, 32)).astype(np.float32),
+    }
+    new_audio, new_text, hits, misses = convert_clap_state_dict(
+        sd, clap.audio_params, clap.text_params)
+    assert hits >= 4, (hits, misses)
+    na = _flat_dict(new_audio)
+    nt = _flat_dict(new_text)
+    np.testing.assert_allclose(na["params/proj1/kernel"], p1, atol=1e-6)
+    np.testing.assert_allclose(na["params/proj2/kernel"], p2, atol=1e-6)
+    np.testing.assert_allclose(nt["params/proj/kernel"], tp, atol=1e-6)
