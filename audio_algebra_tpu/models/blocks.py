@@ -114,6 +114,39 @@ class FourierFeatures(nn.Module):
         return jnp.concatenate([jnp.cos(f), jnp.sin(f)], axis=-1)
 
 
+class GroupNorm1(nn.Module):
+    """GroupNorm(num_groups=1) [+ optional fused GELU], normalising over
+    (T, C) per batch element.
+
+    Param-compatible with flax nn.GroupNorm ({'scale','bias'} of shape
+    (C,)). At MXU-aligned shapes it dispatches to the Pallas fused kernel
+    (ops/pallas/groupnorm.py): XLA's own lowering laid the stats/normalise
+    fusions out time-minor while the surrounding convs are channel-minor,
+    inserting two full-tensor layout copies around EVERY GroupNorm — 69 ms
+    of the 350 ms UNet forward. Other shapes take the plain jnp path.
+    """
+    fuse_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        from ..ops.pallas import groupnorm as pgn
+        if pgn.supported(x.shape, x.dtype):
+            return pgn.groupnorm1_gelu_btc(x, scale.astype(x.dtype),
+                                           bias.astype(x.dtype),
+                                           gelu=self.fuse_gelu)
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True) \
+            - jnp.square(mu)
+        y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        y = y.astype(x.dtype)
+        return nn.gelu(y) if self.fuse_gelu else y
+
+
 class ResConvBlock(nn.Module):
     """conv5-GN-GELU-conv5-GN-GELU with 1x1-projected residual.
 
@@ -131,12 +164,10 @@ class ResConvBlock(nn.Module):
         skip = x if c_in == self.c_out else nn.Dense(self.c_out, use_bias=False,
                                                      name="skip_proj")(x)
         h = Conv1d(self.c_mid, 5)(x)
-        h = nn.GroupNorm(num_groups=1)(h)
-        h = nn.gelu(h)
+        h = GroupNorm1(fuse_gelu=True, name="GroupNorm_0")(h)
         h = Conv1d(self.c_out, 5)(h)
         if not self.is_last:
-            h = nn.GroupNorm(num_groups=1)(h)
-            h = nn.gelu(h)
+            h = GroupNorm1(fuse_gelu=True, name="GroupNorm_1")(h)
         return skip + h
 
 

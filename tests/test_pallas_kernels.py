@@ -28,3 +28,44 @@ def test_pallas_stft_no_center():
     ours = pallas_stft(x, 1024, 256, center=False, interpret=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=5e-4, rtol=1e-4)
+
+
+class TestGroupNormFused:
+    """Parity of the Pallas fused GroupNorm(1)+GELU kernels vs flax
+    nn.GroupNorm (interpret mode on CPU)."""
+
+    def _ref(self, x, scale, bias, gelu):
+        from flax import linen as nn
+        gn = nn.GroupNorm(num_groups=1, epsilon=1e-6)
+        y = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+        return nn.gelu(y) if gelu else y
+
+    @pytest.mark.parametrize("gelu", [True, False])
+    def test_btc_variant_matches_flax(self, gelu):
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 512, 256),
+                              jnp.float32) * 2.0 + 0.3
+        scale = jnp.linspace(0.5, 1.5, 256)
+        bias = jnp.linspace(-0.2, 0.2, 256)
+        y = groupnorm1_gelu_btc(x, scale, bias, gelu=gelu)
+        ref = self._ref(x, scale, bias, gelu)
+        assert float(jnp.abs(y - ref).max()) < 1e-5
+
+    def test_module_dispatch_and_fallback(self):
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.models.blocks import GroupNorm1
+
+        # aligned shape -> pallas path; tiny channels -> jnp fallback.
+        # both must agree with flax.
+        for shape in ((2, 256, 128), (2, 100, 24)):
+            x = jax.random.normal(jax.random.PRNGKey(1), shape) + 0.1
+            m = GroupNorm1(fuse_gelu=True)
+            params = m.init(jax.random.PRNGKey(0), x)
+            y = m.apply(params, x)
+            ref = self._ref(x, params["params"]["scale"],
+                            params["params"]["bias"], gelu=True)
+            assert float(jnp.abs(y - ref).max()) < 1e-5, shape

@@ -60,6 +60,48 @@ def test_train_mixer_cli_and_resume(train_env):
     assert "Resumed from" in r2.stdout, r2.stdout[-800:]
 
 
+def test_train_clapdae_cli_and_resume(train_env, tmp_path):
+    """The MIRAGE generator training path (reference
+    StackedAELatentDiffusionCond.py:319-394): v-objective + CFG dropout +
+    Sobol t + EMA, from-scratch tiny config, with checkpoint + resume."""
+    root, _ = train_env
+    mc = tmp_path / "clapdae_tiny.json"
+    json.dump({
+        "first_stage_config": {"capacity": 4, "c_mults": [2, 4],
+                               "strides": [4, 4], "latent_dim": 8},
+        "model_kwargs": {
+            "latent_channels": 8, "latent_multipliers": [1, 2, 4],
+            "latent_num_blocks": [1, 1], "factors": [2, 2],
+            "diffusion_c_mults": [8, 8], "diffusion_depth": 2,
+            "second_stage_latent_dim": 8,
+            "channels": 8, "multipliers": [1, 2, 2], "factors2": [1, 2],
+            "num_blocks": [1, 1], "attentions": [0, 0, 1]},
+        "clap_kwargs": {
+            "audio_cfg": {"width": 16, "depth": 1, "heads": 2,
+                          "max_patches": 256},
+            "text_cfg": {"width": 16, "depth": 1, "heads": 2}},
+    }, open(mc, "w"))
+    ini = tmp_path / "clapdae.ini"
+    write_defaults_ini(str(ini), overrides=dict(
+        training_dir=str(root / "corpus"), batch_size=2, num_gpus=1,
+        num_workers=0, sample_size=2048, load_frac=1.0, demo_every=0,
+        checkpoint_every=0, model_config=str(mc), max_epochs=2,
+        name="clapdae-test"))
+    r = _run("train_clapdae.py", ini, tmp_path)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "training done." in r.stdout
+    runs = list((tmp_path / "runs").rglob("step_*"))
+    assert runs, "no checkpoint saved"
+    ckpt_dir = sorted(runs)[-1].parent
+    r2 = _run("train_clapdae.py", ini, tmp_path,
+              extra=["--ckpt_path", str(ckpt_dir)])
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    assert "Resumed from" in r2.stdout, r2.stdout[-800:]
+    # loss was logged
+    logs = list((tmp_path / "runs").rglob("log.jsonl"))
+    assert logs and any("train_loss" in json.loads(l) for l in open(logs[0]))
+
+
 def test_train_effects_cli(train_env):
     root, ini = train_env
     r = _run("train_aa_effects.py", ini, root)
