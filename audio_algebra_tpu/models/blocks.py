@@ -128,7 +128,9 @@ class GroupNorm1(nn.Module):
     fuse_gelu: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
+        """With `residual`, returns residual + [gelu](gn(x)) — the block's
+        skip-add folded into the same kernel pass."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -136,7 +138,8 @@ class GroupNorm1(nn.Module):
         if pgn.supported(x.shape, x.dtype):
             return pgn.groupnorm1_gelu_btc(x, scale.astype(x.dtype),
                                            bias.astype(x.dtype),
-                                           gelu=self.fuse_gelu)
+                                           gelu=self.fuse_gelu,
+                                           residual=residual)
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True) \
@@ -144,7 +147,9 @@ class GroupNorm1(nn.Module):
         y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         y = y.astype(x.dtype)
-        return nn.gelu(y) if self.fuse_gelu else y
+        if self.fuse_gelu:
+            y = nn.gelu(y)
+        return y if residual is None else residual + y
 
 
 class ResConvBlock(nn.Module):
@@ -166,9 +171,9 @@ class ResConvBlock(nn.Module):
         h = Conv1d(self.c_mid, 5)(x)
         h = GroupNorm1(fuse_gelu=True, name="GroupNorm_0")(h)
         h = Conv1d(self.c_out, 5)(h)
-        if not self.is_last:
-            h = GroupNorm1(fuse_gelu=True, name="GroupNorm_1")(h)
-        return skip + h
+        if self.is_last:
+            return skip + h
+        return GroupNorm1(fuse_gelu=True, name="GroupNorm_1")(h, residual=skip)
 
 
 class SelfAttention1d(nn.Module):

@@ -142,12 +142,31 @@ def _apply_kernel_tbc(x_ref, stats_ref, scale_ref, bias_ref, o_ref,
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _apply_res_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
+                          o_ref, *, gelu: bool):
+    """apply + fused residual add: out = res + gelu(gn(x)). Folding the
+    block's skip connection in here saves the separate XLA add fusion's
+    read+write of the normalised tensor (~2 HBM passes per ResConvBlock)."""
+    x = x_ref[...].astype(jnp.float32)          # (tile, B, C)
+    mu = stats_ref[0, :, 0][None, :, None]
+    rstd = stats_ref[0, :, 1][None, :, None]
+    y = (x - mu) * rstd
+    y = y * scale_ref[0, 0, :].astype(jnp.float32)[None, None, :] \
+        + bias_ref[0, 0, :].astype(jnp.float32)[None, None, :]
+    if gelu:
+        y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654
+                                      * (y + 0.044715 * y * y * y)))
+    o_ref[...] = (res_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("gelu", "eps"))
 def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                         bias: jnp.ndarray, gelu: bool = True,
-                        eps: float = 1e-6) -> jnp.ndarray:
-    """GroupNorm(1) [+GELU] on a (B, T, C) tensor via the (T, B, C) view,
-    keeping the conv layout end to end (see comment above)."""
+                        eps: float = 1e-6,
+                        residual: jnp.ndarray | None = None) -> jnp.ndarray:
+    """GroupNorm(1) [+GELU] [+residual add] on a (B, T, C) tensor via the
+    (T, B, C) view, keeping the conv layout end to end (see comment above).
+    With `residual`, returns residual + gelu(gn(x))."""
     b, t_len, c = x.shape
     xt = jnp.swapaxes(x, 0, 1)                  # (T, B, C) — bitcast
     tile = t_len
@@ -165,6 +184,9 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, b, 128), jnp.float32),
         interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_len * b * c, transcendentals=0,
+            bytes_accessed=t_len * b * c * x.dtype.itemsize),
     )(xt)
     sums = jnp.sum(partials, axis=0)            # (B, 128); cols 0,1 live
     n = t_len * c
@@ -174,22 +196,39 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
     stats = jnp.stack([mu, rstd], axis=-1)      # (B, 2)
     stats = jnp.pad(stats, ((0, 0), (0, 126)))[None]   # (1, B, 128)
 
-    yt = pl.pallas_call(
-        functools.partial(_apply_kernel_tbc, gelu=gelu),
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((tile, b, c), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 128), lambda j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, b, c), lambda j: (j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_len, b, c), x.dtype),
-        interpret=_interpret(),
-    )(xt, stats, scale.reshape(1, 1, c), bias.reshape(1, 1, c))
+    tile_spec = pl.BlockSpec((tile, b, c), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    small_specs = [
+        pl.BlockSpec((1, b, 128), lambda j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if residual is None:
+        yt = pl.pallas_call(
+            functools.partial(_apply_kernel_tbc, gelu=gelu),
+            grid=(nt,),
+            in_specs=[tile_spec] + small_specs,
+            out_specs=tile_spec,
+            out_shape=jax.ShapeDtypeStruct((t_len, b, c), x.dtype),
+            interpret=_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * t_len * b * c, transcendentals=t_len * b * c,
+                bytes_accessed=2 * t_len * b * c * x.dtype.itemsize),
+        )(xt, stats, scale.reshape(1, 1, c), bias.reshape(1, 1, c))
+    else:
+        rt = jnp.swapaxes(residual, 0, 1)       # bitcast too
+        yt = pl.pallas_call(
+            functools.partial(_apply_res_kernel_tbc, gelu=gelu),
+            grid=(nt,),
+            in_specs=[tile_spec, tile_spec] + small_specs,
+            out_specs=tile_spec,
+            out_shape=jax.ShapeDtypeStruct((t_len, b, c), x.dtype),
+            interpret=_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=11 * t_len * b * c, transcendentals=t_len * b * c,
+                bytes_accessed=3 * t_len * b * c * x.dtype.itemsize),
+        )(xt, rt, stats, scale.reshape(1, 1, c), bias.reshape(1, 1, c))
     return jnp.swapaxes(yt, 0, 1)               # bitcast back
