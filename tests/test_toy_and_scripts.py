@@ -1,4 +1,5 @@
 """Scientific toy verification + script-level smoke tests."""
+import os
 import json
 import subprocess
 import sys
@@ -77,3 +78,75 @@ def test_scripts_have_help(script):
                             "HOME": "/root"})
     assert r.returncode == 0, r.stderr[-500:]
     assert "usage" in r.stdout.lower() or "usage" in r.stderr.lower()
+
+
+# -------------------------------------------------- script e2e (tiny) ---
+
+@pytest.fixture(scope="module")
+def script_corpus(tmp_path_factory):
+    import json as _json
+    from audio_algebra_tpu.utils.audio_io import write_wav
+    root = tmp_path_factory.mktemp("scripts_e2e")
+    corpus = root / "corpus"
+    corpus.mkdir()
+    rng = np.random.default_rng(1)
+    sr = 48000
+    for i in range(3):
+        t = np.arange(sr // 3) / sr
+        x = 0.4 * np.sin(2 * np.pi * (220 + 110 * i) * t) \
+            + 0.02 * rng.standard_normal(sr // 3)
+        write_wav(str(corpus / f"s{i}.wav"), np.stack([x, x]).astype(np.float32), sr)
+    mc = root / "tiny_dvae.json"
+    _json.dump({"model_kwargs": {"capacity": 4, "c_mults": [2, 4],
+                                 "strides": [4, 2], "n_attn_layers": 0,
+                                 "diffusion_c_mults": [8, 16]},
+                "args_dict": {"latent_dim": 8, "sample_size": 2048}},
+               open(mc, "w"))
+    return root, corpus, mc
+
+
+@pytest.mark.slow
+def test_xae_dataset_e2e(script_corpus):
+    """xae_dataset.py end-to-end on a tiny corpus: effected arrays,
+    manifest, and encoded embeddings land on disk (reference
+    xae_dataset.ipynb cells 27-50)."""
+    import json as _json
+    root, corpus, mc = script_corpus
+    out = root / "xae_out"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/xae_dataset.py",
+         "--source-dir", str(corpus), "--out-dir", str(out),
+         "--chunk-size", "2048", "--knob-steps", "3", "--max-clips", "2",
+         "--effects", "Clean,Gain,LowpassFilter", "--encode",
+         "--encode-batch", "4", "--model-config", str(mc)],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"))
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert (out / "clips.npy").exists()
+    man = _json.load(open(out / "manifest.json"))
+    assert man["effects"] == ["Clean", "Gain", "LowpassFilter"]
+    assert (out / "fx_Gain.npy").exists()
+    gain = np.load(out / "fx_Gain.npy")
+    assert gain.shape[-1] == 2048
+    assert (out / "emb_Gain.npy").exists(), "encode step produced no embeddings"
+
+
+@pytest.mark.slow
+def test_effects_explorer_e2e(script_corpus):
+    """effects_explorer.py end-to-end: knob-sweep embeddings, PCA cloud and
+    effect geometry files (reference effects_explorer.ipynb cells 19-52)."""
+    root, corpus, mc = script_corpus
+    out = root / "fx_out"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/effects_explorer.py",
+         "--source-dir", str(corpus), "--out-dir", str(out),
+         "--chunk-size", "2048", "--knob-steps", "2", "--max-clips", "2",
+         "--effects", "Clean,Gain", "--model-config", str(mc)],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"))
+    assert r.returncode == 0, r.stderr[-1200:]
+    embs = np.load(out / "embeddings.npz")
+    assert "Gain" in embs.files and "Clean" in embs.files
+    assert (out / "pca_cloud.npy").exists()
+    dirs = np.load(out / "effect_dirs.npz")
+    assert "Clean->Gain" in dirs.files          # FX2FX displacement vector

@@ -110,3 +110,44 @@ def test_train_effects_cli(train_env):
     assert logs
     lines = [json.loads(l) for l in open(logs[0])]
     assert any("train_loss" in l for l in lines)
+
+
+def test_train_effects_demo_media(train_env, tmp_path):
+    """Demo media parity (reference DemoCallback train_aa_effects.py:
+    123-188): decoded audio, token spectrograms, embeddings stats and the
+    PCA cloud must actually be produced every demo_every steps."""
+    root, ini = train_env
+    ini2 = tmp_path / "demo.ini"
+    base = open(ini).read()
+    open(ini2, "w").write(base.replace("demo_every = 0", "demo_every = 2")
+                              .replace("demo_steps = 250", "demo_steps = 2")
+                              .replace("max_epochs = 2", "max_epochs = 3"))
+    r = _run("train_aa_effects.py", ini2, tmp_path)
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert "demo_log error" not in r.stdout, r.stdout[-1200:]
+    run_dirs = list((tmp_path / "runs" / "aa-effects").glob("*"))
+    assert run_dirs
+    d = run_dirs[0]
+    assert list(d.glob("demo_za2_guess_*.wav")), "no decoded algebra audio"
+    assert list(d.glob("demo_za2_*.wav"))
+    assert list(d.glob("tokens_za1_*.png")) or list(d.glob("tokens_za1_*.npy"))
+    assert list(d.glob("pca_cloud_*.npy"))
+
+
+def test_train_mixer_demo_media(train_env, tmp_path):
+    """Mixer demo: decoded zsum/zmix audio (reference aa_demo,
+    aa_mixer.py:330-341)."""
+    root, ini = train_env
+    ini2 = tmp_path / "mdemo.ini"
+    base = open(ini).read()
+    open(ini2, "w").write(base.replace("demo_every = 0", "demo_every = 2")
+                              .replace("demo_steps = 250", "demo_steps = 2")
+                              .replace("max_epochs = 2", "max_epochs = 3"))
+    r = _run("train_aa_mixer.py", ini2, tmp_path)
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert "demo error" not in r.stdout, r.stdout[-1200:]
+    run_dirs = list((tmp_path / "runs" / "aa-mixer-vicreg").glob("*"))
+    assert run_dirs
+    d = run_dirs[0]
+    assert list(d.glob("zsum_*.wav")), "no decoded zsum audio"
+    assert list(d.glob("zmix_*.wav"))

@@ -17,20 +17,46 @@ from audio_algebra_tpu.config import get_all_args
 from audio_algebra_tpu.utils.logging import RunLogger
 
 
-def demo_log(logger, aa, given_model, val_batch, step: int, sr: int):
-    """Rank-0 demo logging (reference DemoCallback, train_aa_effects.py:123-188):
-    embeddings table stats + PCA cloud + decoded audio files."""
+def demo_log(logger, aa, given_model, val_batch, step: int, sr: int,
+             demo_steps: int = 35):
+    """Rank-0 demo logging with full media parity (reference DemoCallback,
+    train_aa_effects.py:123-188): embeddings table, 3-D PCA cloud, token
+    spectrograms of the embeddings, and decoded audio for the algebra
+    result (za2_guess = zb2 - zb1 + za1) next to the true za2."""
     import jax.numpy as jnp
     from audio_algebra_tpu import aa_effects
-    from audio_algebra_tpu.utils.viz import pca_point_cloud, embeddings_table
+    from audio_algebra_tpu.utils.viz import (pca_point_cloud,
+                                             embeddings_table,
+                                             tokens_spectrogram_image,
+                                             save_image)
+    from audio_algebra_tpu.utils.audio_io import save_audio
 
     try:
         archive = aa_effects.do_mixing(val_batch, given_model, aa, None)
         zs = archive["zs"]
-        table = embeddings_table(zs, names=["za1", "zb1", "za2", "zb2"])
+        names = ["za1", "zb1", "za2", "zb2"]
+        table = embeddings_table(zs, names=names)
         cloud = pca_point_cloud(jnp.concatenate(zs, axis=0))
         np.save(logger.dir / f"pca_cloud_{step:08d}.npy", cloud)
-        logger.log({"demo/emb_stats": table}, step=step)
+        logs = {"demo/emb_stats": table}
+        # token spectrograms (reference :158-166)
+        for name, z in zip(names, zs):
+            img = tokens_spectrogram_image(z)
+            path = save_image(img, str(logger.dir / f"tokens_{name}_{step:08d}.png"))
+            if path is None:      # no PIL/matplotlib: keep the raw array
+                path = str(logger.dir / f"tokens_{name}_{step:08d}.npy")
+                np.save(path, img)
+            logs[f"demo/tokens_{name}"] = path
+        # decoded audio: the algebra guess and the target (reference :168-183)
+        za1, zb1, za2, zb2 = zs
+        za2_guess = zb2 - zb1 + za1
+        for name, z in (("za2_guess", za2_guess), ("za2", za2)):
+            y = aa.decode(z[:1])                     # h^-1 back to y-space
+            fake = given_model.decode(y, demo_steps)
+            path = str(logger.dir / f"demo_{name}_{step:08d}.wav")
+            save_audio(path, np.clip(np.asarray(fake), -1, 1), sr)
+            logs[f"demo/{name}"] = path
+        logger.log(logs, step=step)
     except Exception as e:
         print(f"demo_log error (non-fatal): {e}")
 
@@ -109,7 +135,8 @@ def main():
                         and jax.process_index() == 0:
                     aa.params = jax.device_get(params)
                     demo_log(logger, aa, given_model, val_batch, step,
-                             args.sample_rate)
+                             args.sample_rate,
+                             demo_steps=min(getattr(args, 'demo_steps', 35), 35))
                 if args.checkpoint_every and step and step % args.checkpoint_every == 0:
                     save_checkpoint(f"{logger.dir}/ckpt",
                                     {"params": jax.device_get(params),

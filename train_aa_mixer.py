@@ -112,6 +112,22 @@ def main():
     logger = RunLogger(project='aa-mixer-vicreg', name=args.name,
                        config=args.to_dict())
     rng = np.random.default_rng(seed)
+
+    def demo(step, stems, faders):
+        """Decoded zsum/zmix audio every demo_every steps (reference
+        aa_demo, aa_mixer.py:330-341)."""
+        from audio_algebra_tpu.aa_mixer import do_mixing, aa_demo
+        try:
+            aa.params = jax.device_get(params)
+            zsum, zmix, _ = do_mixing(stems[:, :1], faders, given_model, aa)
+            logs = aa_demo(given_model, aa, {}, zsum, zmix, step,
+                           demo_steps=min(getattr(args, 'demo_steps', 35), 35),
+                           sr=args.sample_rate, out_dir=str(logger.dir))
+            logger.log({f"demo/{k}": v for k, v in logs.items()}, step=step)
+        except Exception as e:
+            print(f"demo error (non-fatal): {e}")
+
+    demo_every = getattr(args, 'demo_every', 0)
     step = start_step
     for epoch in range(max_epochs):
         train_iter = iter(train_dl)
@@ -119,6 +135,9 @@ def main():
             batch = np.asarray(batch)
             stems, faders, train_iter = get_stems_faders(
                 batch, train_iter, train_dl, rng=rng)
+            if demo_every and step and step % demo_every == 0 \
+                    and jax.process_index() == 0:
+                demo(step, stems, faders)
             # stems leading dim is S; shard batch axis by swapping to front
             stems_b = np.swapaxes(stems, 0, 1)
             params, opt_state, logs = step_fn(
