@@ -70,6 +70,7 @@ TINY_KW = dict(
                      text_cfg=dict(width=32, depth=1, heads=2)))
 
 
+@pytest.mark.slow
 def test_process_audio_end_to_end(tmp_path):
     mirage._model_cache.clear()
     rng = np.random.default_rng(1)
@@ -85,6 +86,7 @@ def test_process_audio_end_to_end(tmp_path):
     mirage._model_cache.clear()
 
 
+@pytest.mark.slow
 def test_process_audio_algebra_path(tmp_path):
     mirage._model_cache.clear()
     wav, pca, out = mirage.process_audio(

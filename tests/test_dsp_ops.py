@@ -64,6 +64,7 @@ def test_resample_sine_frequency_preserved():
     assert abs(np.abs(y[2000:-2000]).max() - 1.0) < 0.05
 
 
+@pytest.mark.slow
 def test_resample_roundtrip_close():
     rng = np.random.default_rng(1)
     x = rng.standard_normal(24000).astype(np.float32)
@@ -83,6 +84,7 @@ def test_resample_identity():
 
 # --------------------------------------------------------------- filters ---
 
+@pytest.mark.slow
 def test_biquad_matches_scipy_lowpass():
     b, a = biquad_coeffs("lowpass", 1000.0, 48000, q=0.707)
     rng = np.random.default_rng(2)
@@ -96,6 +98,7 @@ def test_biquad_matches_scipy_lowpass():
     ("lowpass", lowpass, 2000.0),
     ("highpass", highpass, 2000.0),
 ])
+@pytest.mark.slow
 def test_butterworth_rolloff(btype, fn, cut):
     """Check the -3dB point and the stop-band attenuation direction."""
     sr, n = 48000, 32768

@@ -80,6 +80,7 @@ def test_reverb_lengthens_energy_tail(tone):
     assert y.shape == x.shape
 
 
+@pytest.mark.slow
 def test_chorus_and_phaser_shapes(tone):
     for fn, knob in ((chorus, 1.0), (phaser, 0.5)):
         y = np.asarray(fn(tone, knob))
@@ -87,6 +88,7 @@ def test_chorus_and_phaser_shapes(tone):
         assert not np.allclose(y, np.asarray(tone))
 
 
+@pytest.mark.slow
 def test_filters(tone):
     lo = np.asarray(lowpass_filter(tone, 800.0))
     hi = np.asarray(highpass_filter(tone, 800.0))

@@ -109,6 +109,7 @@ def test_dvae_wrapper_setup_random_fallback(capsys):
     assert w.params is not None
 
 
+@pytest.mark.slow
 def test_stacked_diffae_wrapper():
     w = StackedDiffAEWrapper(
         first_stage_config={"capacity": 4, "c_mults": [2, 4], "strides": [2, 2],

@@ -14,6 +14,7 @@ from audio_algebra_tpu.models import (
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.slow
 def test_soundstream_encoder_ratio():
     enc = SoundStreamXLEncoder(in_channels=2, capacity=4, latent_dim=8,
                                c_mults=(2, 4), strides=(4, 2))
@@ -23,6 +24,7 @@ def test_soundstream_encoder_ratio():
     assert y.shape == (2, 8, 1024 // 8)
 
 
+@pytest.mark.slow
 def test_soundstream_roundtrip_shapes():
     enc = SoundStreamXLEncoder(in_channels=2, capacity=4, latent_dim=8,
                                c_mults=(2, 4), strides=(2, 2))
@@ -35,6 +37,7 @@ def test_soundstream_roundtrip_shapes():
     assert y.shape == (1, 2, 512)
 
 
+@pytest.mark.slow
 def test_audio_autoencoder():
     ae = AudioAutoencoder(capacity=4, c_mults=(2, 4), strides=(2, 2), latent_dim=8)
     x = jnp.ones((1, 2, 256))
@@ -45,6 +48,7 @@ def test_audio_autoencoder():
     assert ae.downsampling_ratio == 4
 
 
+@pytest.mark.slow
 def test_diffusion_attn_unet1d():
     net = DiffusionAttnUnet1D(io_channels=2, cond_dim=8, n_attn_layers=1,
                               c_mults=(16, 16, 32))
@@ -57,6 +61,7 @@ def test_diffusion_attn_unet1d():
     assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_diffusion_unet_uncond():
     net = DiffusionAttnUnet1D(io_channels=4, cond_dim=0, n_attn_layers=0,
                               c_mults=(8, 16), depth=2)
@@ -66,6 +71,7 @@ def test_diffusion_unet_uncond():
     assert v.shape == x.shape
 
 
+@pytest.mark.slow
 def test_encoder1d_ratio():
     enc = Encoder1d(in_channels=8, out_channels=4, channels=8,
                     multipliers=(1, 2, 2), factors=(2, 2), num_blocks=(1, 1))
@@ -143,6 +149,7 @@ def test_ema_update_and_schedule():
     assert d0 == 0.0 and 0.9 < d1k <= 0.9999
 
 
+@pytest.mark.slow
 def test_unet_cfg1d_shapes_and_cfg():
     net = UNetCFG1d(in_channels=4, channels=8, multipliers=(1, 2), factors=(2,),
                     num_blocks=(1,), attentions=(0, 1), attention_heads=2,
@@ -166,6 +173,7 @@ def test_unet_cfg1d_shapes_and_cfg():
     assert not np.allclose(np.asarray(v_null), np.asarray(v))
 
 
+@pytest.mark.slow
 def test_dvae_tiny():
     dvae = DiffusionDVAE(latent_dim=8, capacity=4, c_mults=(2, 4), strides=(4, 2),
                          n_attn_layers=1, diffusion_c_mults=(8, 16, 16))
@@ -179,6 +187,7 @@ def test_dvae_tiny():
     assert v.shape == x.shape
 
 
+@pytest.mark.slow
 def test_dvae_quantized():
     dvae = DiffusionDVAE(latent_dim=8, capacity=4, c_mults=(2,), strides=(4,),
                          num_quantizers=1, num_heads=2, codebook_size=16,
@@ -189,6 +198,7 @@ def test_dvae_quantized():
     assert emb.shape == (1, 8, 16)
 
 
+@pytest.mark.slow
 def test_latent_diffae_tiny():
     m = LatentAudioDiffusionAutoencoder(
         latent_dim=8, second_stage_latent_dim=4, factors=(2, 2),
@@ -204,6 +214,7 @@ def test_latent_diffae_tiny():
     assert m.downsampling_ratio == 16
 
 
+@pytest.mark.slow
 def test_stacked_cond_tiny():
     m = StackedAELatentDiffusionCond(
         latent_dim=4, embedding_features=16, channels=8,

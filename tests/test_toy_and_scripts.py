@@ -11,6 +11,7 @@ from audio_algebra_tpu.ops.loudness import (
     integrated_loudness, loudness_normalize, maxabs_normalize)
 
 
+@pytest.mark.slow
 def test_toy_training_restores_algebra():
     """The core scientific claim (reference aa-mixer-toy cell 58): after
     VICReg training, encode-then-sum matches sum-then-encode much better
@@ -36,6 +37,7 @@ def test_twist_and_scrunch_is_nonlinear():
 
 # ------------------------------------------------------------ loudness ---
 
+@pytest.mark.slow
 def test_integrated_loudness_sine():
     sr = 48000
     t = np.arange(3 * sr) / sr
@@ -48,6 +50,7 @@ def test_integrated_loudness_sine():
     assert abs((lufs - lufs2) - 6.0) < 0.5
 
 
+@pytest.mark.slow
 def test_loudness_normalize():
     sr = 48000
     t = np.arange(2 * sr) / sr

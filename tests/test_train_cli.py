@@ -13,6 +13,8 @@ from audio_algebra_tpu.utils.audio_io import write_wav
 
 REPO = Path(__file__).resolve().parents[1]
 
+pytestmark = pytest.mark.slow  # subprocess e2e: run with `pytest tests/` (full tier)
+
 
 @pytest.fixture(scope="module")
 def train_env(tmp_path_factory):
