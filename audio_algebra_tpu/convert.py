@@ -245,6 +245,14 @@ def convert_clap_state_dict(sd: Dict[str, np.ndarray], audio_template,
     full-attention rebuild and is reported as unmatched — the documented
     stand-in limit."""
     sd = strip_prefixes(sd, ("model.", "module.", "clap_model."))
+    # HTSAT's mel front-end is a Conv2d(1 -> width, 4x4 patches); the
+    # rebuild's patch embed is a Dense over the flattened 4x4 patch, so the
+    # conv kernel reshapes onto it exactly: (W, 1, 4, 4) -> (16, W)
+    sd = dict(sd)
+    for k in list(sd):
+        if k.endswith("patch_embed.proj.weight") and np.asarray(sd[k]).ndim == 4:
+            w4 = np.asarray(sd[k])                     # (W, 1, kh, kw)
+            sd[k] = w4.reshape(w4.shape[0], -1)        # (W, 16) -> transposed
     new_audio, ha, ma = _pour_by_predicate(
         sd, audio_template,
         [(lambda p: "/proj1/" in p, lambda n: n.startswith("audio_projection.0")),

@@ -219,6 +219,33 @@ def load_examples_csv(path: str) -> list:
     return rows
 
 
+def save_html_hosting_info(share_url: str,
+                           info_file: str = "mirage.html",
+                           host_url: str = "https://example.org/mirage/") -> str:
+    """Write the self-redirecting landing page pointing at the (ephemeral)
+    gradio share URL (reference mirage.py:653-685): OpenGraph metadata +
+    a 2-second meta refresh, so a stable host URL can front the app."""
+    share_url += "?__theme=dark"
+    html = (
+        "<DOCTYPE html>\n<html>\n  <head>\n  <title>MIRAGE Demo</title>\n"
+        '  <meta charset="UTF-8" />\n'
+        f'  <meta property="og:url" content="{host_url}">\n'
+        f'  <meta property="og:image" content="{host_url}mirage_screenshot.png">\n'
+        '  <meta property="og:title" content="Demo of MIRAGE">\n'
+        '  <meta property="og:description" content="Music Information '
+        'Retrieval-based Audio Generation via Entropy">\n'
+        f'  <meta http-equiv="Refresh" content="2; url={share_url}" />\n'
+        "  </head>\n  <body>\n  <h1>Redirecting</h1>\n"
+        "  Redirecting in 2 seconds.  If you are not automatically "
+        f'redirected, click <a href="{share_url}">here</a>.\n'
+        "  </body>\n</html>"
+    )
+    print(f"Saving HTML forwarding info to {info_file}")
+    with open(os.path.expanduser(info_file), "w") as f:
+        f.write(html)
+    return html
+
+
 # ---------------------------------------------------------------- GUI ---
 
 def run_gui(args):
@@ -255,6 +282,12 @@ def run_gui(args):
             seed = gr.Number(value=-1, label="seed")
             out1 = gr.Audio(label="result")
             gr.Button("Generate").click(tab1, [a1, a2, t1, t2, interp, cfg, steps, seed], out1)
+            # preset rows from a CSV next to the app (reference :592)
+            if os.path.exists(getattr(args, "examples_csv", "mirage_examples.csv")):
+                gr.Examples(
+                    examples=load_examples_csv(
+                        getattr(args, "examples_csv", "mirage_examples.csv")),
+                    inputs=[a1, a2, t1, t2, interp, cfg, steps, seed])
         with gr.Tab("Algebra"):
             b1, b2 = gr.Audio(), gr.Audio()
             s1, s2 = gr.Textbox(label="text 1"), gr.Textbox(label="text 2")
@@ -267,7 +300,14 @@ def run_gui(args):
     auth = None
     if os.environ.get("MIRAGE_USERNAME"):
         auth = (os.environ["MIRAGE_USERNAME"], os.environ.get("MIRAGE_PASSWORD", ""))
-    demo.launch(share=args.share, auth=auth)
+    app = demo.launch(share=args.share, auth=auth, prevent_thread_lock=args.share)
+    if args.share:
+        share_url = getattr(app, "share_url", None) or getattr(demo, "share_url", "")
+        if share_url:
+            save_html_hosting_info(share_url,
+                                   info_file=getattr(args, "html_info_file",
+                                                     "mirage.html"))
+        demo.block_thread()
 
 
 # ---------------------------------------------------------------- CLI ---
@@ -292,6 +332,10 @@ def main():
     p.add_argument("--output-dir", type=str, default="mirage_out")
     p.add_argument("--gui", action="store_true")
     p.add_argument("--share", action="store_true")
+    p.add_argument("--examples-csv", type=str, default="mirage_examples.csv",
+                   help="CSV of GUI preset rows (reference mirage.py:458)")
+    p.add_argument("--html-info-file", type=str, default="mirage.html",
+                   help="where --share writes the redirect page (reference :653)")
     args = p.parse_args()
 
     if args.gui:

@@ -238,3 +238,25 @@ def test_convert_clap_projections():
     np.testing.assert_allclose(na["params/proj1/kernel"], p1, atol=1e-6)
     np.testing.assert_allclose(na["params/proj2/kernel"], p2, atol=1e-6)
     np.testing.assert_allclose(nt["params/proj/kernel"], tp, atol=1e-6)
+
+
+def test_convert_clap_patch_embed_conv():
+    """HTSAT's Conv2d(1->W, 4x4) patch embed reshapes exactly onto the
+    rebuild's Dense(16->W) patch embed when widths align."""
+    from audio_algebra_tpu.models.clap import CLAPModule
+
+    clap = CLAPModule(audio_cfg={"width": 32, "depth": 1, "heads": 2,
+                                 "max_patches": 64},
+                      text_cfg={"width": 32, "depth": 1, "heads": 2})
+    clap._ensure_init(4096)
+    rng = np.random.default_rng(17)
+    w4 = rng.standard_normal((32, 1, 4, 4)).astype(np.float32)
+    sd = {"audio_branch.patch_embed.proj.weight": w4,
+          "audio_branch.patch_embed.proj.bias":
+              rng.standard_normal(32).astype(np.float32)}
+    new_audio, _, hits, _ = convert_clap_state_dict(
+        sd, clap.audio_params, clap.text_params)
+    assert hits >= 1
+    flat = _flat_dict(new_audio)
+    np.testing.assert_allclose(flat["params/patch_embed/kernel"],
+                               w4.reshape(32, 16).T, atol=1e-6)
