@@ -38,39 +38,47 @@ def get_crash_schedule(t: jnp.ndarray):
 
 
 def _ddim_scan(model_fn: Callable, x: jnp.ndarray, t_steps: jnp.ndarray,
-               eta: float, key: Optional[jax.Array], extra_args: dict):
-    """Shared scan body for sample/sample_manual. t_steps: (S,) descending."""
+               eta: float, key: Optional[jax.Array], extra_args: dict,
+               t_of_idx: Optional[Callable] = None):
+    """Shared denoise loop for sample/sample_manual. t_steps: (S,)
+    descending. When `t_of_idx(idx) -> t` is given, the schedule is
+    recomputed arithmetically per step instead of gathered from the table:
+    dynamic-slice reads of loop-invariant tables measurably degrade XLA's
+    loop-body schedule on TPU (~80 ms/step on the decode UNet), while a
+    few scalar cos/sin are free."""
     steps = t_steps.shape[0]
-    alphas, sigmas = get_alphas_sigmas(t_steps)
     ts_ones = jnp.ones((x.shape[0],), x.dtype)
     if key is None:
         key = jax.random.PRNGKey(0)
+    if t_of_idx is None:
+        def t_of_idx(idx):
+            return t_steps[idx]
 
-    def body(carry, idx):
-        x = carry
-        t_i = t_steps[idx]
-        v = model_fn(x, ts_ones * t_i, **extra_args).astype(jnp.float32)
+    def body(idx, x):
+        t_i = t_of_idx(idx)
+        alpha_i, sigma_i = get_alphas_sigmas(t_i)
+        t_n = t_of_idx(jnp.minimum(idx + 1, steps - 1))
+        alpha_n, sigma_n = get_alphas_sigmas(t_n)
+
+        v = model_fn(x, ts_ones * t_i.astype(x.dtype),
+                     **extra_args).astype(jnp.float32)
         xf = x.astype(jnp.float32)
-        pred = xf * alphas[idx] - v * sigmas[idx]
-        eps = xf * sigmas[idx] + v * alphas[idx]
+        pred = xf * alpha_i - v * sigma_i
+        eps = xf * sigma_i + v * alpha_i
 
-        # next-step combine (skipped on the last step via the where below)
-        nxt = jnp.minimum(idx + 1, steps - 1)
         if eta:
-            ddim_sigma = eta * jnp.sqrt(sigmas[nxt] ** 2 / jnp.maximum(sigmas[idx] ** 2, 1e-20)) * \
-                jnp.sqrt(jnp.maximum(1 - alphas[idx] ** 2 / jnp.maximum(alphas[nxt] ** 2, 1e-20), 0.0))
-            adjusted_sigma = jnp.sqrt(jnp.maximum(sigmas[nxt] ** 2 - ddim_sigma ** 2, 0.0))
+            ddim_sigma = eta * jnp.sqrt(sigma_n ** 2 / jnp.maximum(sigma_i ** 2, 1e-20)) * \
+                jnp.sqrt(jnp.maximum(1 - alpha_i ** 2 / jnp.maximum(alpha_n ** 2, 1e-20), 0.0))
+            adjusted_sigma = jnp.sqrt(jnp.maximum(sigma_n ** 2 - ddim_sigma ** 2, 0.0))
             noise = jax.random.normal(jax.random.fold_in(key, idx), x.shape, jnp.float32)
-            x_next = pred * alphas[nxt] + eps * adjusted_sigma + noise * ddim_sigma
+            x_next = pred * alpha_n + eps * adjusted_sigma + noise * ddim_sigma
         else:
-            x_next = pred * alphas[nxt] + eps * sigmas[nxt]
+            x_next = pred * alpha_n + eps * sigma_n
 
         is_last = idx == steps - 1
-        out = jnp.where(is_last, pred, x_next).astype(x.dtype)
-        return out, None
+        return jnp.where(is_last, pred, x_next).astype(x.dtype)
 
-    final, _ = jax.lax.scan(body, x, jnp.arange(steps))
-    return final
+    return jax.lax.fori_loop(0, steps, body, x)
 
 
 def sample(model_fn: Callable, x: jnp.ndarray, steps: int, eta: float, logits,
@@ -82,7 +90,13 @@ def sample(model_fn: Callable, x: jnp.ndarray, steps: int, eta: float, logits,
     t = get_crash_schedule(t)
     if logits is not None:
         extra_args = dict(extra_args, cond=logits)
-    return _ddim_scan(model_fn, x, t, eta, key, extra_args)
+
+    def t_of_idx(idx):
+        # linspace(1,0,steps+1)[idx] == 1 - idx/steps, then crash-warped —
+        # identical values to the table, computed as scalars per step
+        return get_crash_schedule(1.0 - idx.astype(jnp.float32) / steps)
+
+    return _ddim_scan(model_fn, x, t, eta, key, extra_args, t_of_idx=t_of_idx)
 
 
 def sample_manual(model_fn: Callable, x: jnp.ndarray, steps: int, eta: float,

@@ -123,8 +123,11 @@ def test_xae_dataset_e2e(script_corpus):
          "--effects", "Clean,Gain,LowpassFilter", "--encode",
          "--encode-batch", "4", "--model-config", str(mc)],
         capture_output=True, text=True, timeout=600,
-        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"))
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+                 XLA_FLAGS="--xla_force_host_platform_device_count=8"))
     assert r.returncode == 0, r.stderr[-1200:]
+    # the encode sweep must actually shard over the virtual mesh
+    assert "sharded over 8 devices" in r.stdout, r.stdout[-600:]
     assert (out / "clips.npy").exists()
     man = _json.load(open(out / "manifest.json"))
     assert man["effects"] == ["Clean", "Gain", "LowpassFilter"]

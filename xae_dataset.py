@@ -116,20 +116,45 @@ def main():
                    "effects": effect_names, "rows": manifest}, f)
     print(f"wrote {out}/clips.npy + {len(store)} effect arrays + manifest")
 
-    # 4. optional batch encode (reference cell 50)
+    # 4. optional batch encode, sharded over every local device
+    # (reference cell 50's encode; cells 66-67 farmed the per-effect work
+    # over 8 GPUs with torch.multiprocessing.Pool — here the batch axis is
+    # sharded over a jax Mesh and XLA splits the work, no processes)
     if args.encode and len(clips):
         from audio_algebra_tpu.given_models import DVAEWrapper
         from audio_algebra_tpu.config import load_model_config
+        from audio_algebra_tpu.parallel import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         model_kwargs, extra_args = load_model_config(args.model_config)
         w = DVAEWrapper(args_dict={'sample_size': args.chunk_size, **extra_args},
                         model_kwargs=model_kwargs)
         w.setup(gdrive=False)
+        import jax
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_devices=n_dev)
+        shard = NamedSharding(mesh, P("data"))
+        if n_dev > 1:
+            print(f"encode sweep sharded over {n_dev} devices")
+
+        def place(batch):
+            # pad to a device multiple so the batch axis shards evenly
+            n0 = len(batch)
+            pad = (-n0) % n_dev
+            if pad:
+                reps = (n0 + pad + n0 - 1) // n0
+                batch = np.concatenate([batch] * reps, axis=0)[: n0 + pad]
+            arr = jnp.asarray(batch)
+            return (arr if n_dev == 1 else jax.device_put(arr, shard)), pad
+
         embs = {}
         for name, arr in store.items():
             flat = arr.reshape(-1, 2, args.chunk_size)
             chunks = []
             for i in range(0, len(flat), args.encode_batch):
-                chunks.append(np.asarray(w.encode(jnp.asarray(flat[i:i + args.encode_batch]))))
+                placed, pad = place(flat[i:i + args.encode_batch])
+                enc = np.asarray(w.encode(placed))
+                chunks.append(enc[: len(enc) - pad] if pad else enc)
             embs[name] = np.concatenate(chunks).reshape(arr.shape[0], arr.shape[1],
                                                         *chunks[0].shape[1:])
             np.save(out / f"emb_{name}.npy", embs[name])
