@@ -214,6 +214,8 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
             out_specs=tile_spec,
             out_shape=jax.ShapeDtypeStruct((t_len, b, c), x.dtype),
             interpret=_interpret(),
+            input_output_aliases={0: 0},   # x is dead after the apply:
+                                           # write y into its buffer
             cost_estimate=pl.CostEstimate(
                 flops=10 * t_len * b * c, transcendentals=t_len * b * c,
                 bytes_accessed=2 * t_len * b * c * x.dtype.itemsize),
@@ -227,6 +229,7 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
             out_specs=tile_spec,
             out_shape=jax.ShapeDtypeStruct((t_len, b, c), x.dtype),
             interpret=_interpret(),
+            input_output_aliases={0: 0},
             cost_estimate=pl.CostEstimate(
                 flops=11 * t_len * b * c, transcendentals=t_len * b * c,
                 bytes_accessed=3 * t_len * b * c * x.dtype.itemsize),
