@@ -259,6 +259,22 @@ class AudioDataset:
         self.n_files = int(len(self.filenames) * load_frac)
         self.filenames = self.filenames[: self.n_files]
         self._cache = {} if cache_training_data else None
+        if self._cache is not None and self.filenames:
+            # one native call decodes the whole corpus on a C++ thread pool
+            # (audio_io.decode_batch releases the GIL for the entire batch —
+            # the torch-DataLoader-worker-processes equivalent)
+            from .utils.audio_io import decode_batch
+            decoded = decode_batch(self.filenames)
+            from .ops.resample import resample_np
+            for fn, item in zip(self.filenames, decoded):
+                if item is None:
+                    continue
+                audio, in_sr = item
+                if in_sr != self.sr:
+                    audio = resample_np(audio, in_sr, self.sr)
+                self._cache[fn] = audio
+            print(f"AudioDataset: pre-cached {len(self._cache)} files "
+                  "(native batch decode)")
 
     def __len__(self):
         return len(self.filenames)

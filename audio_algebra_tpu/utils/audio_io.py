@@ -41,6 +41,16 @@ def _native_lib():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.aa_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            try:
+                lib.aa_decode_batch.restype = ctypes.c_int
+                lib.aa_decode_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.c_longlong),
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ]
+            except AttributeError:      # older .so without the batch entry
+                pass
             _NATIVE = lib
             return lib
     return None
@@ -141,6 +151,53 @@ def decode_mp3(path: str) -> tuple[np.ndarray, int]:
     arr = np.ctypeslib.as_array(buf, shape=(int(n) * ch.value,)).reshape(int(n), ch.value).T.copy()
     lib.aa_free(buf)
     return arr.astype(np.float32), sr.value
+
+
+def decode_batch(paths, num_threads: int = 0):
+    """Decode many files in ONE native call on a C++ thread pool (the
+    native data-loader primitive: the GIL is released for the whole batch,
+    unlike per-file ctypes calls). Returns a list aligned with `paths` of
+    ((C, N) float32, sr) or None for files that failed.
+
+    Falls back to sequential Python decode when the native library (or its
+    batch entry point) is unavailable.
+    """
+    paths = [os.path.expanduser(str(p)) for p in paths]
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "aa_decode_batch"):
+        out = []
+        for p in paths:
+            try:
+                out.append(load_audio_raw(p))
+            except Exception:
+                out.append(None)
+        return out
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    bufs = (ctypes.POINTER(ctypes.c_float) * n)()
+    frames = (ctypes.c_longlong * n)()
+    chans = (ctypes.c_int * n)()
+    rates = (ctypes.c_int * n)()
+    lib.aa_decode_batch(c_paths, n, num_threads, bufs, frames, chans, rates)
+    out = []
+    for i in range(n):
+        if frames[i] <= 0 or not bufs[i]:
+            out.append(None)
+            continue
+        total = int(frames[i]) * chans[i]
+        arr = np.ctypeslib.as_array(bufs[i], shape=(total,)) \
+            .reshape(int(frames[i]), chans[i]).T.copy()
+        lib.aa_free(bufs[i])
+        out.append((arr.astype(np.float32), rates[i]))
+    return out
+
+
+def load_audio_raw(path: str):
+    """Read a file at its native rate -> ((C, N) float32, sr)."""
+    ext = Path(str(path)).suffix.lower()
+    if ext == ".mp3":
+        return decode_mp3(str(path))
+    return read_wav(str(path))
 
 
 # ----------------------------------------------------------- load_audio ---

@@ -177,3 +177,52 @@ extern "C" long long aa_read_wav(const char* path, float** out,
 }
 
 extern "C" void aa_free(float* p) { free(p); }
+
+// ---------------------------------------------------------- batch decode ---
+// Multithreaded batch decode: the native data-loader primitive. The
+// reference fed training from torch DataLoader worker *processes*; here a
+// single ctypes call decodes a whole batch on a C++ thread pool (the GIL
+// is released for the entire batch, not per file). Dispatch is by file
+// magic: RIFF -> WAV reader, else mpg123.
+#include <thread>
+#include <atomic>
+
+static long long decode_any(const char* path, float** out, int* ch, int* rate) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    unsigned char magic[4] = {0};
+    size_t got = fread(magic, 1, 4, f);
+    fclose(f);
+    if (got == 4 && !memcmp(magic, "RIFF", 4))
+        return aa_read_wav(path, out, ch, rate);
+    return aa_decode_mp3(path, out, ch, rate);
+}
+
+extern "C" long long aa_decode_any(const char* path, float** out,
+                                   int* ch, int* rate) {
+    return decode_any(path, out, ch, rate);
+}
+
+extern "C" int aa_decode_batch(const char** paths, int n, int n_threads,
+                               float** outs, long long* frames,
+                               int* channels, int* rates) {
+    // outs/frames/channels/rates: caller-allocated arrays of length n.
+    // Per-file failures leave outs[i]=nullptr, frames[i]=error code.
+    if (n <= 0) return 0;
+    if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads > n) n_threads = n;
+    std::atomic<int> next(0), ok(0);
+    auto worker = [&]() {
+        while (true) {
+            int i = next.fetch_add(1);
+            if (i >= n) return;
+            outs[i] = nullptr;
+            frames[i] = decode_any(paths[i], &outs[i], &channels[i], &rates[i]);
+            if (frames[i] > 0) ok.fetch_add(1);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+    return ok.load();
+}

@@ -59,3 +59,49 @@ def test_load_audio_mp3_resamples():
     # 193390 samples @44.1k -> ~210465 @48k
     assert a.shape[0] == 2
     assert abs(a.shape[1] - 193390 * 48000 / 44100) < 10
+
+
+def test_batch_decode_threadpool(tmp_path):
+    """aa_decode_batch: one native call, C++ thread pool, mixed formats,
+    per-file failure isolation."""
+    from audio_algebra_tpu.utils.audio_io import decode_batch, write_wav
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        x = (0.3 * np.sin(2 * np.pi * (100 + 50 * i)
+                          * np.arange(8000) / 16000)).astype(np.float32)
+        p = tmp_path / f"b{i}.wav"
+        write_wav(str(p), np.stack([x, x]), 16000)
+        paths.append(str(p))
+    if (EXAMPLES / "guitar_dry.mp3").exists():
+        paths.append(str(EXAMPLES / "guitar_dry.mp3"))
+    paths.append(str(tmp_path / "missing.wav"))     # must not poison batch
+
+    out = decode_batch(paths, num_threads=4)
+    assert len(out) == len(paths)
+    assert out[-1] is None                           # the missing file
+    for i in range(6):
+        arr, sr = out[i]
+        assert sr == 16000 and arr.shape == (2, 8000)
+        ref, ref_sr = __import__(
+            "audio_algebra_tpu.utils.audio_io", fromlist=["read_wav"]
+        ).read_wav(paths[i])
+        np.testing.assert_allclose(arr, ref, atol=1e-6)
+    if len(out) == 8:                                # mp3 fixture present
+        assert out[6] is not None and out[6][0].shape[0] == 2
+
+
+def test_dataset_precache_uses_batch_decode(tmp_path):
+    from audio_algebra_tpu.datasets import AudioDataset
+    from audio_algebra_tpu.utils.audio_io import write_wav
+
+    for i in range(3):
+        x = 0.3 * np.sin(2 * np.pi * 220 * np.arange(24000) / 48000)
+        write_wav(str(tmp_path / f"c{i}.wav"),
+                  np.stack([x, x]).astype(np.float32), 48000)
+    ds = AudioDataset([str(tmp_path)], sample_size=4096,
+                      cache_training_data=True)
+    assert len(ds._cache) == 3
+    item = ds[0]
+    assert item.shape == (2, 4096)
