@@ -128,8 +128,7 @@ def _stats_kernel_tbc(x_ref, out_ref):
         jnp.stack([s1, s2], axis=-1), ((0, 0), (0, 126)))
 
 
-def _apply_kernel_tbc(x_ref, stats_ref, scale_ref, bias_ref, o_ref,
-                      *, gelu: bool):
+def _gn_core(x_ref, stats_ref, scale_ref, bias_ref, gelu: bool):
     x = x_ref[...].astype(jnp.float32)          # (tile, B, C)
     mu = stats_ref[0, :, 0][None, :, None]
     rstd = stats_ref[0, :, 1][None, :, None]
@@ -139,7 +138,23 @@ def _apply_kernel_tbc(x_ref, stats_ref, scale_ref, bias_ref, o_ref,
     if gelu:
         y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654
                                       * (y + 0.044715 * y * y * y)))
+    return y
+
+
+def _apply_kernel_tbc(x_ref, stats_ref, scale_ref, bias_ref, o_ref,
+                      *, gelu: bool):
+    y = _gn_core(x_ref, stats_ref, scale_ref, bias_ref, gelu)
     o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _apply_quant_kernel_tbc(x_ref, stats_ref, scale_ref, bias_ref, qinv_ref,
+                            o_ref, *, gelu: bool):
+    """Turbo-int8 emit: int8 = round(y * qinv_c) clipped, with per-channel
+    inverse quantisation scales — costs zero extra HBM passes over the
+    plain apply (the int8 output is 4x SMALLER to write than bf16)."""
+    y = _gn_core(x_ref, stats_ref, scale_ref, bias_ref, gelu)
+    qinv = qinv_ref[0, 0, :].astype(jnp.float32)[None, None, :]
+    o_ref[...] = jnp.clip(jnp.round(y * qinv), -127, 127).astype(jnp.int8)
 
 
 def _apply_res_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
@@ -163,10 +178,14 @@ def _apply_res_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
 def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                         bias: jnp.ndarray, gelu: bool = True,
                         eps: float = 1e-6,
-                        residual: jnp.ndarray | None = None) -> jnp.ndarray:
+                        residual: jnp.ndarray | None = None,
+                        quant_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """GroupNorm(1) [+GELU] [+residual add] on a (B, T, C) tensor via the
     (T, B, C) view, keeping the conv layout end to end (see comment above).
-    With `residual`, returns residual + gelu(gn(x))."""
+    With `residual`, returns residual + gelu(gn(x)). With `quant_scale`
+    (turbo-int8 mode, exclusive with residual), the output is emitted as
+    int8 = round(y / quant_scale) clipped to ±127, consumed by the int8
+    conv path — quantisation costs zero extra HBM passes."""
     b, t_len, c = x.shape
     xt = jnp.swapaxes(x, 0, 1)                  # (T, B, C) — bitcast
     tile = t_len
@@ -206,7 +225,24 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
         pl.BlockSpec((1, 1, c), lambda j: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if residual is None:
+    if quant_scale is not None:
+        assert residual is None, "turbo quantise is exclusive with residual"
+        qinv = (1.0 / jnp.maximum(quant_scale.astype(jnp.float32), 1e-12))
+        qinv = jnp.broadcast_to(qinv, (c,)).reshape(1, 1, c)
+        yt = pl.pallas_call(
+            functools.partial(_apply_quant_kernel_tbc, gelu=gelu),
+            grid=(nt,),
+            in_specs=[tile_spec] + small_specs +
+                     [pl.BlockSpec((1, 1, c), lambda j: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=tile_spec,
+            out_shape=jax.ShapeDtypeStruct((t_len, b, c), jnp.int8),
+            interpret=_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * t_len * b * c, transcendentals=t_len * b * c,
+                bytes_accessed=t_len * b * c * (x.dtype.itemsize + 1)),
+        )(xt, stats, scale.reshape(1, 1, c), bias.reshape(1, 1, c), qinv)
+    elif residual is None:
         yt = pl.pallas_call(
             functools.partial(_apply_kernel_tbc, gelu=gelu),
             grid=(nt,),

@@ -148,6 +148,27 @@ def main():
         "unit": "x_realtime_per_chip", "vs_baseline": round(rt10 / 100.0, 3)}),
         file=sys.stderr)
 
+    # --- turbo int8 (opt-in: AA_TURBO_INT8=1; ~1% per-conv quant noise) ---
+    import os
+    if os.environ.get("AA_TURBO_INT8") != "1":
+        os.environ["AA_TURBO_INT8"] = "1"
+        try:
+            dt_turbo, _, _, fakes_t = time_pipeline(args.steps)
+            rt_turbo = audio_sec / dt_turbo
+            err = float(jnp.sqrt(
+                jnp.mean(jnp.square(fakes_t.astype(jnp.float32)
+                                    - fakes.astype(jnp.float32)))
+                / jnp.maximum(jnp.mean(jnp.square(
+                    fakes.astype(jnp.float32))), 1e-12)))
+            print("# " + json.dumps({
+                "metric": f"rt_factor_turbo_int8_decode{args.steps}",
+                "value": round(rt_turbo, 2), "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rt_turbo / 100.0, 3),
+                "note": f"opt-in int8 convs; rel RMS vs bf16 output {err:.3f}"}),
+                file=sys.stderr)
+        finally:
+            os.environ.pop("AA_TURBO_INT8", None)
+
     # --- encode-only (corpus extraction: calc_effects_pca / AA training) ---
     enc = jax.jit(lambda p, a: model.apply(p, a.astype(dtype),
                                            method=DiffusionDVAE.encode_it))

@@ -69,3 +69,41 @@ class TestGroupNormFused:
             ref = self._ref(x, params["params"]["scale"],
                             params["params"]["bias"], gelu=True)
             assert float(jnp.abs(y - ref).max()) < 1e-5, shape
+
+
+class TestTurboInt8:
+    """Opt-in int8 turbo conv path (AA_TURBO_INT8=1)."""
+
+    def test_block_error_band_and_param_compat(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.models.blocks import ResConvBlock
+        from audio_algebra_tpu.utils.params import fast_random_params
+
+        blk = ResConvBlock(256, 256)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 256)) * 0.6
+        params = fast_random_params(blk, 1, jnp.zeros((1, 8, 256)))
+        ref = blk.apply(params, x)
+        monkeypatch.setenv("AA_TURBO_INT8", "1")
+        turbo = blk.apply(params, x)       # same params tree: no new leaves
+        rel = float(jnp.sqrt(jnp.mean((turbo - ref) ** 2)
+                             / jnp.mean(ref ** 2)))
+        # quantisation noise must be present (path engaged) and small
+        assert 1e-5 < rel < 0.05, rel
+
+    def test_conv1d_int8_matches_float(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from audio_algebra_tpu.models.blocks import conv1d_int8, conv1d
+
+        rng = jax.random.PRNGKey(2)
+        c = 128
+        w = jax.random.normal(rng, (5, c, c)) * 0.05
+        xf = jax.random.normal(jax.random.PRNGKey(3), (2, 256, c))
+        s_x = (jnp.max(jnp.abs(xf), axis=(0, 1)) + 1e-6) / 127.0
+        x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        y8 = conv1d_int8(x8, s_x, w, None, jnp.float32)
+        yf = conv1d(xf, w)
+        rel = float(jnp.sqrt(jnp.mean((y8 - yf) ** 2) / jnp.mean(yf ** 2)))
+        assert rel < 0.02, rel
