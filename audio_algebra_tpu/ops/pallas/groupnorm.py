@@ -26,81 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _stats_kernel(x_ref, out_ref):
-    # out block is a (8, 128) min-tile; the two sums live at [...,0,0] and
-    # [...,0,1], the rest is padding (Pallas TPU requires aligned blocks)
-    x = x_ref[...].astype(jnp.float32)
-    pair = jnp.stack([jnp.sum(x), jnp.sum(jnp.square(x))])
-    out_ref[0, 0, 0, :] = jnp.pad(pair, (0, 126)).reshape(1, 1, 1, 128)[0, 0, 0]
-
-
-def _apply_kernel(mu_ref, rstd_ref, x_ref, scale_ref, bias_ref, o_ref,
-                  *, gelu: bool):
-    b = pl.program_id(0)
-    x = x_ref[...].astype(jnp.float32)
-    mu = mu_ref[b]
-    rstd = rstd_ref[b]
-    y = (x - mu) * rstd
-    y = y * scale_ref[...].astype(jnp.float32) \
-        + bias_ref[...].astype(jnp.float32)
-    if gelu:
-        # exact-tanh GELU (jax.nn.gelu default approximation)
-        y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654
-                                      * (y + 0.044715 * y * y * y)))
-    o_ref[...] = y.astype(o_ref.dtype)
-
-
 def _interpret() -> bool:
     # CPU (tests / virtual meshes) runs the kernels interpreted
     return jax.default_backend() == "cpu"
-
-
-@functools.partial(jax.jit, static_argnames=("gelu", "eps"))
-def groupnorm1_gelu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-                    gelu: bool = True, eps: float = 1e-6) -> jnp.ndarray:
-    """GroupNorm(num_groups=1) over (T, C) per batch, optionally fused with
-    GELU. x: (B, T, C); scale/bias: (C,)."""
-    b, t_len, c = x.shape
-    tile = t_len
-    # keep tiles within a few MB of VMEM
-    max_elems = 262_144
-    while tile * c > max_elems and tile % 2 == 0:
-        tile //= 2
-    nt = t_len // tile
-    assert nt * tile == t_len, (t_len, tile)
-
-    partials = pl.pallas_call(
-        _stats_kernel,
-        grid=(b, nt),
-        in_specs=[pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nt, 8, 128), jnp.float32),
-        interpret=_interpret(),
-    )(x)
-    sums = jnp.sum(partials[:, :, 0, :2], axis=1)   # (B, 2) — tiny
-    n = t_len * c
-    mu = sums[:, 0] / n
-    var = jnp.maximum(sums[:, 1] / n - jnp.square(mu), 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-
-    return pl.pallas_call(
-        functools.partial(_apply_kernel, gelu=gelu),
-        grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # mu (B,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # rstd (B,)
-            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (C,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (C,)
-        ],
-        out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_len, c), x.dtype),
-        interpret=_interpret(),
-    )(mu, rstd, x, scale, bias)
 
 
 def supported(x_shape, dtype) -> bool:
@@ -162,15 +90,7 @@ def _apply_res_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
     """apply + fused residual add: out = res + gelu(gn(x)). Folding the
     block's skip connection in here saves the separate XLA add fusion's
     read+write of the normalised tensor (~2 HBM passes per ResConvBlock)."""
-    x = x_ref[...].astype(jnp.float32)          # (tile, B, C)
-    mu = stats_ref[0, :, 0][None, :, None]
-    rstd = stats_ref[0, :, 1][None, :, None]
-    y = (x - mu) * rstd
-    y = y * scale_ref[0, 0, :].astype(jnp.float32)[None, None, :] \
-        + bias_ref[0, 0, :].astype(jnp.float32)[None, None, :]
-    if gelu:
-        y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654
-                                      * (y + 0.044715 * y * y * y)))
+    y = _gn_core(x_ref, stats_ref, scale_ref, bias_ref, gelu)
     o_ref[...] = (res_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
