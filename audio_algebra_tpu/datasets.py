@@ -20,7 +20,6 @@ import os
 import random
 import threading
 import queue as queue_mod
-from functools import partial
 from pathlib import Path
 from typing import Callable, Optional, Sequence
 

@@ -9,7 +9,7 @@ convs lower to implicit GEMM and norms/activations fuse on the VPU.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

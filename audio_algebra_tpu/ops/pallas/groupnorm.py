@@ -18,7 +18,6 @@ parity-tested against it in tests/test_pallas_kernels.py.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
