@@ -190,11 +190,15 @@ class GroupNorm1(nn.Module):
             q_scales = (self.quant_bound_sigmas * jnp.abs(scale)
                         + jnp.abs(bias) + 1e-6).astype(jnp.float32) / 127.0
         if pgn.supported(x.shape, x.dtype):
+            # turbo also subsamples the statistics pass (error ~0.05%,
+            # far below the int8 grid it feeds)
+            stride = 4 if turbo_int8() else 1
             out = pgn.groupnorm1_gelu_btc(x, scale.astype(x.dtype),
                                           bias.astype(x.dtype),
                                           gelu=self.fuse_gelu,
                                           residual=residual,
-                                          quant_scale=q_scales)
+                                          quant_scale=q_scales,
+                                          stats_stride=stride)
             return (out, q_scales) if quantize else out
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
