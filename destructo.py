@@ -17,6 +17,7 @@ diff = mean(encode(wet) − encode(dry)) and applies z + scale·diff.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import time
 
@@ -68,7 +69,12 @@ def main():
     p.add_argument("--out", default="destructo_out.wav")
     p.add_argument("--model-config", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--turbo", action="store_true",
+                   help="int8 turbo decode (AA_TURBO_INT8=1): ~20%% faster "
+                        "diffusion at ~2%% output RMS difference")
     args = p.parse_args()
+    if getattr(args, "turbo", False):
+        os.environ["AA_TURBO_INT8"] = "1"   # read at model trace time
 
     import jax.numpy as jnp
     from audio_algebra_tpu.utils.audio_io import load_audio, save_audio, batch_it_crazy

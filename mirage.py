@@ -336,7 +336,12 @@ def main():
                    help="CSV of GUI preset rows (reference mirage.py:458)")
     p.add_argument("--html-info-file", type=str, default="mirage.html",
                    help="where --share writes the redirect page (reference :653)")
+    p.add_argument("--turbo", action="store_true",
+                   help="int8 turbo decode (AA_TURBO_INT8=1): ~20%% faster "
+                        "diffusion at ~2%% output RMS difference")
     args = p.parse_args()
+    if getattr(args, "turbo", False):
+        os.environ["AA_TURBO_INT8"] = "1"   # read at model trace time
 
     if args.gui:
         run_gui(args)
