@@ -233,39 +233,313 @@ def load_torchscript_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k, v in mod.state_dict().items()}
 
 
+# ----------------------------------------------------------------- CLAP ----
+#
+# The CLAP towers (models/clap.py) are architecture-faithful HTSAT + RoBERTa,
+# so conversion is an exact name map rather than a shape pour. Two torch
+# naming dialects are handled:
+#   * laion_clap / timm (what real CLAP_CKPT files contain; reference
+#     given_models.py:682-688): audio_branch.* with fused attn.qkv,
+#     norm1/norm2, mlp.fc1/fc2; text_branch.* (an HF RobertaModel inside);
+#     audio/text_projection Sequential indices 0 and 2.
+#   * HuggingFace transformers ClapModel (the numeric oracle in
+#     tests/test_clap_parity.py): audio_model.audio_encoder.* with separate
+#     query/key/value, layernorm_before/after, intermediate/output;
+#     text_model.*; projection linear1/linear2.
+
+_CLAP_SKIP_MARKERS = (
+    "relative_position_index", "num_batches_tracked", "position_ids",
+    "token_type_ids", "attn_mask", "logit_scale",
+    # analytic front-end rebuilt in ops/mel (torchaudio conv weights)
+    "spectrogram_extractor", "logmel_extractor",
+    # HTSAT event-classification head, unused by the embedding path
+    "tscam_conv", "head.",
+    # >10 s fusion branch: replaced by the deterministic global path
+    # (documented in models/clap.py); counted below, never silent
+    "fusion_model", "mel_conv2d",
+)
+
+
+def _canon_clap_names(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalise both dialects to laion_clap-style canonical names and
+    split fused qkv tensors."""
+    sd = strip_prefixes(sd, ("model.", "module.", "clap_model."))
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace("audio_model.audio_encoder.", "audio_branch.")
+        k = k.replace("text_model.", "text_branch.")
+        k = k.replace("audio_branch.batch_norm.", "audio_branch.bn0.")
+        # HF block-internal names -> timm names
+        k = k.replace(".attention.self.relative_position_bias_table",
+                      ".attn.relative_position_bias_table")
+        k = k.replace(".attention.output.LayerNorm", ".attention_output_ln")
+        k = k.replace(".attention.output.dense", ".attn.proj")
+        k = k.replace(".attention.self.", ".attn.")
+        if ".attn.qkv." in k:
+            w = np.asarray(v)
+            c = w.shape[0] // 3
+            for part, sl in (("q", slice(0, c)), ("k", slice(c, 2 * c)),
+                             ("v", slice(2 * c, 3 * c))):
+                out[k.replace(".attn.qkv.", f".attn.{part}.")] = w[sl]
+            continue
+        k = k.replace(".attn.query.", ".attn.q.")
+        k = k.replace(".attn.key.", ".attn.k.")
+        k = k.replace(".attn.value.", ".attn.v.")
+        out[k] = v
+    return out
+
+
+def _clap_audio_flax_path(name: str):
+    """Canonical audio-branch torch name -> (flax path tuple, transform)."""
+    t_lin = lambda a: np.asarray(a).T if np.asarray(a).ndim == 2 else np.asarray(a)
+    ident = lambda a: np.asarray(a)
+    m = re.match(r"audio_branch\.bn0\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        part = {"weight": "bn_scale", "bias": "bn_bias",
+                "running_mean": "bn_mean", "running_var": "bn_var"}[m.group(1)]
+        return ("audio_branch", part), ident
+    m = re.match(r"audio_branch\.patch_embed\.proj\.(weight|bias)$", name)
+    if m:
+        if m.group(1) == "weight":
+            return ("audio_branch", "patch_proj", "kernel"), \
+                lambda a: np.asarray(a).transpose(2, 3, 1, 0)
+        return ("audio_branch", "patch_proj", "bias"), ident
+    m = re.match(r"audio_branch\.patch_embed\.norm\.(weight|bias)$", name)
+    if m:
+        return ("audio_branch", "patch_norm",
+                "scale" if m.group(1) == "weight" else "bias"), ident
+    m = re.match(r"audio_branch\.layers\.(\d+)\.blocks\.(\d+)\.(.+)$", name)
+    if m:
+        i, j, rest = m.group(1), m.group(2), m.group(3)
+        blk = f"layers_{i}_blocks_{j}"
+        table = {
+            "norm1.weight": (("layernorm_before", "scale"), ident),
+            "norm1.bias": (("layernorm_before", "bias"), ident),
+            "layernorm_before.weight": (("layernorm_before", "scale"), ident),
+            "layernorm_before.bias": (("layernorm_before", "bias"), ident),
+            "norm2.weight": (("layernorm_after", "scale"), ident),
+            "norm2.bias": (("layernorm_after", "bias"), ident),
+            "layernorm_after.weight": (("layernorm_after", "scale"), ident),
+            "layernorm_after.bias": (("layernorm_after", "bias"), ident),
+            "attn.relative_position_bias_table": (("attn", "rel_pos_bias"), ident),
+            "attn.q.weight": (("attn", "query", "kernel"), t_lin),
+            "attn.q.bias": (("attn", "query", "bias"), ident),
+            "attn.k.weight": (("attn", "key", "kernel"), t_lin),
+            "attn.k.bias": (("attn", "key", "bias"), ident),
+            "attn.v.weight": (("attn", "value", "kernel"), t_lin),
+            "attn.v.bias": (("attn", "value", "bias"), ident),
+            "attn.proj.weight": (("attn", "out", "kernel"), t_lin),
+            "attn.proj.bias": (("attn", "out", "bias"), ident),
+            "mlp.fc1.weight": (("intermediate", "kernel"), t_lin),
+            "mlp.fc1.bias": (("intermediate", "bias"), ident),
+            "intermediate.dense.weight": (("intermediate", "kernel"), t_lin),
+            "intermediate.dense.bias": (("intermediate", "bias"), ident),
+            "mlp.fc2.weight": (("output", "kernel"), t_lin),
+            "mlp.fc2.bias": (("output", "bias"), ident),
+            "output.dense.weight": (("output", "kernel"), t_lin),
+            "output.dense.bias": (("output", "bias"), ident),
+        }
+        if rest in table:
+            sub, tr = table[rest]
+            return ("audio_branch", blk) + sub, tr
+        return None, None
+    m = re.match(r"audio_branch\.layers\.(\d+)\.downsample\.(norm|reduction)\.(weight|bias)$", name)
+    if m:
+        i, mod, part = m.groups()
+        ds = f"layers_{i}_downsample"
+        if mod == "reduction":
+            return ("audio_branch", ds, "reduction", "kernel"), t_lin
+        return ("audio_branch", ds, "norm",
+                "scale" if part == "weight" else "bias"), ident
+    m = re.match(r"audio_branch\.norm\.(weight|bias)$", name)
+    if m:
+        return ("audio_branch", "norm",
+                "scale" if m.group(1) == "weight" else "bias"), ident
+    m = re.match(r"audio_projection\.(0|2|linear1|linear2)\.(weight|bias)$", name)
+    if m:
+        lin = {"0": "linear1", "2": "linear2",
+               "linear1": "linear1", "linear2": "linear2"}[m.group(1)]
+        part = "kernel" if m.group(2) == "weight" else "bias"
+        return ("audio_projection", lin, part), (t_lin if part == "kernel" else ident)
+    return None, None
+
+
+def _clap_text_flax_path(name: str):
+    """Canonical text-branch torch name -> (flax path tuple, transform)."""
+    t_lin = lambda a: np.asarray(a).T if np.asarray(a).ndim == 2 else np.asarray(a)
+    ident = lambda a: np.asarray(a)
+    m = re.match(r"text_branch\.embeddings\.(word|position|token_type)_embeddings\.weight$", name)
+    if m:
+        kind = m.group(1)
+        if kind == "token_type":
+            return ("text_branch", "token_type_embeddings"), ident
+        return ("text_branch", f"{kind}_embeddings", "embedding"), ident
+    m = re.match(r"text_branch\.embeddings\.LayerNorm\.(weight|bias)$", name)
+    if m:
+        return ("text_branch", "embeddings_norm",
+                "scale" if m.group(1) == "weight" else "bias"), ident
+    m = re.match(r"text_branch\.encoder\.layer\.(\d+)\.(.+)$", name)
+    if m:
+        i, rest = m.groups()
+        table = {
+            "attn.q.weight": (f"layer_{i}_query", "kernel", t_lin),
+            "attn.q.bias": (f"layer_{i}_query", "bias", ident),
+            "attn.k.weight": (f"layer_{i}_key", "kernel", t_lin),
+            "attn.k.bias": (f"layer_{i}_key", "bias", ident),
+            "attn.v.weight": (f"layer_{i}_value", "kernel", t_lin),
+            "attn.v.bias": (f"layer_{i}_value", "bias", ident),
+            "attn.proj.weight": (f"layer_{i}_attn_out", "kernel", t_lin),
+            "attn.proj.bias": (f"layer_{i}_attn_out", "bias", ident),
+            "attention_output_ln.weight": (f"layer_{i}_attn_norm", "scale", ident),
+            "attention_output_ln.bias": (f"layer_{i}_attn_norm", "bias", ident),
+            "intermediate.dense.weight": (f"layer_{i}_intermediate", "kernel", t_lin),
+            "intermediate.dense.bias": (f"layer_{i}_intermediate", "bias", ident),
+            "output.dense.weight": (f"layer_{i}_output", "kernel", t_lin),
+            "output.dense.bias": (f"layer_{i}_output", "bias", ident),
+            "output.LayerNorm.weight": (f"layer_{i}_out_norm", "scale", ident),
+            "output.LayerNorm.bias": (f"layer_{i}_out_norm", "bias", ident),
+        }
+        if rest in table:
+            mod, part, tr = table[rest]
+            return ("text_branch", mod, part), tr
+        return None, None
+    m = re.match(r"text_branch\.pooler\.dense\.(weight|bias)$", name)
+    if m:
+        part = "kernel" if m.group(1) == "weight" else "bias"
+        return ("text_branch", "pooler", part), (t_lin if part == "kernel" else ident)
+    m = re.match(r"text_projection\.(0|2|linear1|linear2)\.(weight|bias)$", name)
+    if m:
+        lin = {"0": "linear1", "2": "linear2",
+               "linear1": "linear1", "linear2": "linear2"}[m.group(1)]
+        part = "kernel" if m.group(2) == "weight" else "bias"
+        return ("text_projection", lin, part), (t_lin if part == "kernel" else ident)
+    return None, None
+
+
+def _pour_named(entries, template):
+    """entries: {flax path tuple (under 'params'): np.ndarray}. Returns
+    (new_params, hits, shape_mismatches)."""
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    index = {}
+    for i, (path, _) in enumerate(leaves_with_path):
+        key = tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        index[key] = i
+    new_leaves = [leaf for _, leaf in leaves_with_path]
+    hits, mismatches = 0, []
+    for path, arr in entries.items():
+        full = ("params",) + path
+        i = index.get(full)
+        if i is None:
+            mismatches.append(("missing-slot",) + path)
+            continue
+        if tuple(arr.shape) != tuple(new_leaves[i].shape):
+            mismatches.append(("shape",) + path)
+            continue
+        new_leaves[i] = np.asarray(arr, dtype=new_leaves[i].dtype)
+        hits += 1
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), hits, mismatches
+
+
 def convert_clap_state_dict(sd: Dict[str, np.ndarray], audio_template,
                             text_template):
-    """laion_clap checkpoints: audio tower tensors live under
-    audio_branch./audio_projection., text under text_branch./
-    text_projection. (reference given_models.py:682-688 load_ckpt;
-    laion_clap projections are Sequential(Linear, ReLU, Linear) -> indices
-    0 and 2). The projection MLPs map explicitly (proj1/proj2 and proj);
-    front-end + transformer tensors pour by shape where the widths align.
-    The Swin-windowed HTSAT interior mostly cannot map onto the
-    full-attention rebuild and is reported as unmatched — the documented
-    stand-in limit."""
-    sd = strip_prefixes(sd, ("model.", "module.", "clap_model."))
-    # HTSAT's mel front-end is a Conv2d(1 -> width, 4x4 patches); the
-    # rebuild's patch embed is a Dense over the flattened 4x4 patch, so the
-    # conv kernel reshapes onto it exactly: (W, 1, 4, 4) -> (16, W)
-    sd = dict(sd)
-    for k in list(sd):
-        if k.endswith("patch_embed.proj.weight") and np.asarray(sd[k]).ndim == 4:
-            w4 = np.asarray(sd[k])                     # (W, 1, kh, kw)
-            sd[k] = w4.reshape(w4.shape[0], -1)        # (W, 16) -> transposed
-    new_audio, ha, ma = _pour_by_predicate(
-        sd, audio_template,
-        [(lambda p: "/proj1/" in p, lambda n: n.startswith("audio_projection.0")),
-         (lambda p: "/proj2/" in p, lambda n: n.startswith("audio_projection.2")),
-         (lambda p: "patch_embed" in p,
-          lambda n: n.startswith("audio_branch.") and "patch_embed" in n),
-         (lambda p: "/block" in p or "/pos_embed" in p or "LayerNorm" in p,
-          lambda n: n.startswith("audio_branch.") and "patch_embed" not in n)])
-    new_text, ht, mt = _pour_by_predicate(
-        sd, text_template,
-        [(lambda p: "/proj/" in p, lambda n: n.startswith("text_projection.2")),
-         (lambda p: "/block" in p or "embed" in p or "LayerNorm" in p,
-          lambda n: n.startswith("text_branch."))])
-    report("CLAP audio tower", ha, ma, _n_params(audio_template))
-    report("CLAP text tower", ht, mt, _n_params(text_template))
-    return new_audio, new_text, ha + ht, ma + mt
+    """Pour a torch CLAP checkpoint into the flax HTSAT/RoBERTa towers
+    (reference given_models.py:682-688 load_ckpt). Exact name map over both
+    the laion_clap/timm and HF transformers dialects; skipped tensor
+    classes (front-end convs, classifier head, fusion branch, buffers) are
+    counted and reported. Returns (audio_params, text_params, hits, misses)."""
+    sd = _canon_clap_names(sd)
+    audio_entries, text_entries = {}, {}
+    misses, skipped = [], 0
+    for name, arr in sd.items():
+        if any(mark in name for mark in _CLAP_SKIP_MARKERS):
+            skipped += 1
+            continue
+        path, tr = _clap_audio_flax_path(name)
+        if path is not None:
+            audio_entries[path] = tr(arr)
+            continue
+        path, tr = _clap_text_flax_path(name)
+        if path is not None:
+            text_entries[path] = tr(arr)
+            continue
+        misses.append(name)
+    new_audio, ha, mm_a = _pour_named(audio_entries, audio_template)
+    new_text, ht, mm_t = _pour_named(text_entries, text_template)
+    misses += ["/".join(m) for m in mm_a + mm_t]
+    report("CLAP audio tower", ha, misses, _n_params(audio_template))
+    report("CLAP text tower", ht, [], _n_params(text_template))
+    if skipped:
+        print(f"CLAP: skipped {skipped} non-embedding tensors "
+              "(front-end/head/fusion/buffers — see convert._CLAP_SKIP_MARKERS)")
+    return new_audio, new_text, ha + ht, misses
+
+
+def infer_clap_cfgs(sd: Dict[str, np.ndarray], audio_default, text_default):
+    """Infer tower hyperparameters from a CLAP state dict's shapes so any
+    HTSAT/RoBERTa size pours completely (laion_clap ships tiny/base/large
+    audio towers under one filename scheme)."""
+    import dataclasses
+
+    from .models.clap import ClapAudioCfg, ClapTextCfg  # noqa: F401
+
+    sd = _canon_clap_names(sd)
+    a_kw, t_kw = {}, {}
+    pe = sd.get("audio_branch.patch_embed.proj.weight")
+    if pe is not None:
+        pe = np.asarray(pe)
+        a_kw["patch_embed_hidden"] = int(pe.shape[0])
+        a_kw["patch_size"] = int(pe.shape[-1])
+    bn = sd.get("audio_branch.bn0.weight")
+    if bn is not None:
+        a_kw["num_mel_bins"] = int(np.asarray(bn).shape[0])
+    blocks = {}
+    for k in sd:
+        m = re.match(r"audio_branch\.layers\.(\d+)\.blocks\.(\d+)\.", k)
+        if m:
+            i, j = int(m.group(1)), int(m.group(2))
+            blocks[i] = max(blocks.get(i, 0), j + 1)
+    if blocks:
+        n_stages = max(blocks) + 1
+        a_kw["depths"] = tuple(blocks.get(i, 1) for i in range(n_stages))
+        heads = []
+        for i in range(n_stages):
+            t = sd.get(f"audio_branch.layers.{i}.blocks.0."
+                       "attn.relative_position_bias_table")
+            heads.append(int(np.asarray(t).shape[-1]) if t is not None
+                         else audio_default.heads[min(i, len(audio_default.heads) - 1)])
+        a_kw["heads"] = tuple(heads)
+        t0 = sd.get("audio_branch.layers.0.blocks.0.attn.relative_position_bias_table")
+        if t0 is not None:
+            a_kw["window"] = (int(round(np.sqrt(np.asarray(t0).shape[0]))) + 1) // 2
+    fc1 = sd.get("audio_branch.layers.0.blocks.0.mlp.fc1.weight")
+    if fc1 is None:
+        fc1 = sd.get("audio_branch.layers.0.blocks.0.intermediate.dense.weight")
+    if fc1 is not None and "patch_embed_hidden" in a_kw:
+        a_kw["mlp_ratio"] = int(np.asarray(fc1).shape[0] // a_kw["patch_embed_hidden"])
+    proj2 = sd.get("audio_projection.2.weight",
+                   sd.get("audio_projection.linear2.weight"))
+    if proj2 is not None:
+        a_kw["projection_dim"] = int(np.asarray(proj2).shape[0])
+        t_kw["projection_dim"] = int(np.asarray(proj2).shape[0])
+
+    we = sd.get("text_branch.embeddings.word_embeddings.weight")
+    if we is not None:
+        we = np.asarray(we)
+        t_kw["vocab"], t_kw["hidden"] = int(we.shape[0]), int(we.shape[1])
+        if t_kw["hidden"] % 64 == 0:
+            t_kw["heads"] = max(t_kw["hidden"] // 64, 1)
+    pe_t = sd.get("text_branch.embeddings.position_embeddings.weight")
+    if pe_t is not None:
+        t_kw["max_pos"] = int(np.asarray(pe_t).shape[0])
+    inter = sd.get("text_branch.encoder.layer.0.intermediate.dense.weight")
+    if inter is not None:
+        t_kw["intermediate"] = int(np.asarray(inter).shape[0])
+    n_layers = -1
+    for k in sd:
+        m = re.match(r"text_branch\.encoder\.layer\.(\d+)\.", k)
+        if m:
+            n_layers = max(n_layers, int(m.group(1)))
+    if n_layers >= 0:
+        t_kw["layers"] = n_layers + 1
+    return (dataclasses.replace(audio_default, **a_kw),
+            dataclasses.replace(text_default, **t_kw))

@@ -1,4 +1,5 @@
-"""CLAP — contrastive language-audio embedder (inference-scoped).
+"""CLAP — contrastive language-audio embedder (HTSAT Swin audio tower +
+RoBERTa text tower), inference-scoped and checkpoint-faithful.
 
 Rebuilds the capability surface of laion_clap.CLAP_Module as the reference
 uses it (reference given_models.py:573-605, StackedAELatentDiffusionCond.py:
@@ -6,23 +7,36 @@ uses it (reference given_models.py:573-605, StackedAELatentDiffusionCond.py:
 `get_audio_embedding_from_data((B, T) mono @48k) -> (B, 512)`, both
 L2-normalised, consumed as (B, 1, 512) conditioning.
 
-Architecture (HTSAT-capability, TPU-shaped):
-  * audio tower: 64-mel log spectrogram -> conv patch embed (4x4 patches
-    over (mel, time)) -> pre-norm transformer -> mean-pool -> MLP proj to
-    512. This is the transformer-over-mel-patches recipe of HTSAT without
-    the Swin window bookkeeping (full attention over <=1k patches is cheap
-    on the MXU and strictly more expressive).
-  * text tower: byte-level embedding (vocab 256 + specials; replaces the
-    RoBERTa BPE tokenizer, which needs external vocab files this
-    environment cannot fetch) -> transformer -> CLS pool -> proj to 512.
+Unlike the round-1 stand-in, these towers are architecture-faithful:
+  * audio tower: HTSAT — 64-mel log spectrogram, reshaped to a 256x256
+    "image" (freq_ratio 4), 4x4 conv patch embed, 4 Swin stages with
+    shifted-window attention + relative position bias + patch merging,
+    final LayerNorm, mean pool.
+  * text tower: RoBERTa — learned word/position/type embeddings with the
+    padding-offset position scheme, post-LN transformer, tanh pooler.
+  * projections: Linear-ReLU-Linear MLPs to the shared 512-d space.
 
-Real laion_clap checkpoints can be mapped onto the projection-interface via
-checkpoint.py's converter hooks when weights are available; random-weight
-operation mirrors the reference's "Going with random weights" fallback
-(reference given_models.py:354).
+Real laion_clap checkpoints therefore pour tensor-for-tensor (both the
+laion_clap/timm naming dialect with fused qkv and the HuggingFace
+transformers ClapModel dialect are handled by convert.convert_clap_state_dict).
+Numeric parity of the towers against transformers.ClapModel (the HF port of
+laion_clap) is asserted in tests/test_clap_parity.py.
+
+Two deliberate departures, both documented:
+  * tokenizer: RoBERTa's BPE needs vocab files this zero-egress environment
+    cannot fetch; `tokenize` uses a local HF tokenizer when one is cached
+    and otherwise falls back to byte-level ids in the reserved low range of
+    the RoBERTa vocab (specials 0/1/2 + bytes at 4..259).
+  * audio >10 s: laion_clap's fusion branch (random local crops + AFF)
+    is replaced by the deterministic global path (is_longer=False
+    semantics); fusion tensors in a checkpoint are counted and reported,
+    never silently dropped.
 """
 from __future__ import annotations
 
+import dataclasses
+import functools
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -33,97 +47,498 @@ from flax import linen as nn
 from ..ops.mel import melspectrogram
 
 
-class TransformerEncoderBlock(nn.Module):
+# --------------------------------------------------------------------------
+# configs
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ClapAudioCfg:
+    """HTSAT audio-tower hyperparameters (laion_clap audio_cfg semantics).
+
+    amodel presets: HTSAT-tiny embeds 96, HTSAT-base 128, HTSAT-large 256;
+    all use depths (2,2,6,2), heads (4,8,16,32), window 8, spec_size 256.
+    """
+    spec_size: int = 256
+    patch_size: int = 4
+    patch_stride: int = 4
+    patch_embed_hidden: int = 128          # HTSAT-base (reference amodel)
+    depths: tuple = (2, 2, 6, 2)
+    heads: tuple = (4, 8, 16, 32)
+    window: int = 8
+    mlp_ratio: int = 4
+    num_mel_bins: int = 64
+    projection_dim: int = 512
+    ln_eps: float = 1e-5
+    # waveform front-end (laion_clap audio_cfg: 48k, 1024 fft, 480 hop,
+    # fmin 50, fmax 14000, 10-second clips)
+    sample_rate: int = 48000
+    n_fft: int = 1024
+    hop: int = 480
+    f_min: float = 50.0
+    f_max: float = 14000.0
+    clip_samples: int = 480000
+
+    @property
+    def freq_ratio(self) -> int:
+        return self.spec_size // self.num_mel_bins
+
+    @property
+    def num_features(self) -> int:
+        return self.patch_embed_hidden * 2 ** (len(self.depths) - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClapTextCfg:
+    """RoBERTa text-tower hyperparameters (roberta-base defaults)."""
+    vocab: int = 50265
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_pos: int = 514
+    pad_id: int = 1
+    type_vocab: int = 1
+    ln_eps: float = 1e-12
+    projection_dim: int = 512
+    max_len: int = 77
+
+
+_AMODEL_EMBED = {"HTSAT-tiny": 96, "HTSAT-base": 128, "HTSAT-large": 256}
+
+# Smoke-test presets: the same architecture at a few-thousand-param scale
+# (2 Swin stages over a 32x32 mel image, 1-layer text encoder). Used by the
+# CI tiny-model tests and handy for pipeline bring-up.
+TINY_AUDIO_CFG = dict(spec_size=32, num_mel_bins=8, patch_embed_hidden=16,
+                      depths=(1, 1), heads=(2, 2), window=4,
+                      n_fft=256, hop=64, clip_samples=4096)
+TINY_TEXT_CFG = dict(vocab=300, hidden=32, layers=1, heads=2,
+                     intermediate=64, max_pos=80, max_len=16)
+
+
+# --------------------------------------------------------------------------
+# Swin window machinery (static-shape; all index math in numpy at trace time)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _relative_position_index(window: int) -> np.ndarray:
+    """(w*w, w*w) index into the (2w-1)^2 relative-position-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))          # (2, w, w)
+    flat = coords.reshape(2, -1)                           # (2, w*w)
+    rel = flat[:, :, None] - flat[:, None, :]              # (2, L, L)
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)                                     # (L, L)
+
+
+@functools.lru_cache(maxsize=64)
+def _shift_attn_mask(height: int, width: int, window: int, shift: int) -> Optional[np.ndarray]:
+    """Additive (nW, L, L) mask for shifted-window attention (Swin recipe:
+    tokens wrapped around by the cyclic shift must not attend across the
+    seam; -100 matches the HF/timm constant)."""
+    if shift == 0:
+        return None
+    img = np.zeros((height, width))
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    count = 0
+    for hs in slices:
+        for ws in slices:
+            img[hs, ws] = count
+            count += 1
+    img = img.reshape(height // window, window, width // window, window)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, window * window)  # (nW, L)
+    mask = img[:, None, :] - img[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, window*window, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, c)
+
+
+def _window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
+    """(B*nW, window*window, C) -> (B, H, W, C)."""
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // window) * (w // window))
+    x = x.reshape(b, h // window, w // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+class _WindowAttention(nn.Module):
+    """Window MSA with relative position bias (HF ClapAudioSelfAttention +
+    SelfOutput, modeling_clap.py:364-472 semantics)."""
     dim: int
     heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        """x (B_, L, C); attn_mask (nW, L, L) additive or None."""
+        b_, L, c = x.shape
+        hd = self.dim // self.heads
+        table = self.param("rel_pos_bias", nn.initializers.zeros,
+                           ((2 * self.window - 1) ** 2, self.heads))
+        q = nn.Dense(self.dim, name="query")(x)
+        k = nn.Dense(self.dim, name="key")(x)
+        v = nn.Dense(self.dim, name="value")(x)
+        q = q.reshape(b_, L, self.heads, hd)
+        k = k.reshape(b_, L, self.heads, hd)
+        v = v.reshape(b_, L, self.heads, hd)
+        scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd)
+        idx = _relative_position_index(self.window)
+        bias = table[jnp.asarray(idx.reshape(-1))].reshape(L, L, self.heads)
+        scores = scores + bias.transpose(2, 0, 1)[None]
+        if attn_mask is not None:
+            n_w = attn_mask.shape[0]
+            scores = scores.reshape(b_ // n_w, n_w, self.heads, L, L)
+            scores = scores + jnp.asarray(attn_mask)[None, :, None]
+            scores = scores.reshape(b_, self.heads, L, L)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(b_, L, c)
+        return nn.Dense(self.dim, name="out")(out)
+
+
+class _SwinBlock(nn.Module):
+    """Pre-norm Swin block: (shifted-)window attention + MLP, residuals
+    (HF ClapAudioLayer, modeling_clap.py:542-665)."""
+    dim: int
+    heads: int
+    resolution: tuple   # (H, W)
+    window: int
+    shift: int
     mlp_ratio: int = 4
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm()(x)
-        h = nn.MultiHeadDotProductAttention(num_heads=self.heads)(h, h)
-        x = x + h
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(self.dim * self.mlp_ratio)(h)
-        h = nn.gelu(h)
-        h = nn.Dense(self.dim)(h)
-        return x + h
+        h_res, w_res = self.resolution
+        window, shift = self.window, self.shift
+        if min(h_res, w_res) <= window:
+            # window larger than the feature map: no partitioning, no shift
+            window, shift = min(h_res, w_res), 0
+        b, L, c = x.shape
+        shortcut = x
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="layernorm_before")(x)
+        h = h.reshape(b, h_res, w_res, c)
+        pad_b = (window - h_res % window) % window
+        pad_r = (window - w_res % window) % window
+        if pad_b or pad_r:
+            h = jnp.pad(h, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h_res + pad_b, w_res + pad_r
+        if shift > 0:
+            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+        windows = _window_partition(h, window)
+        mask = _shift_attn_mask(hp, wp, window, shift)
+        attn = _WindowAttention(c, self.heads, window, name="attn")(windows, mask)
+        h = _window_reverse(attn, window, hp, wp)
+        if shift > 0:
+            h = jnp.roll(h, (shift, shift), axis=(1, 2))
+        if pad_b or pad_r:
+            h = h[:, :h_res, :w_res]
+        x = shortcut + h.reshape(b, L, c)
+        y = nn.LayerNorm(epsilon=self.ln_eps, name="layernorm_after")(x)
+        y = nn.Dense(self.mlp_ratio * c, name="intermediate")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, name="output")(y)
+        return x + y
 
 
-class AudioTower(nn.Module):
-    embed_dim: int = 512
-    width: int = 256
-    depth: int = 6
-    heads: int = 8
-    n_mels: int = 64
-    sample_rate: int = 48000
-    n_fft: int = 1024
-    hop: int = 480          # 10 ms at 48k
-    patch: int = 4
-    max_patches: int = 8192  # supports arbitrary-length audio (pos slice)
-
-    @nn.compact
-    def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
-        """(B, T) mono float -> (B, embed_dim) L2-normalised."""
-        mel = melspectrogram(audio, self.sample_rate, self.n_fft, self.hop,
-                             n_mels=self.n_mels)                  # (B, mel, F)
-        logmel = jnp.log(mel + 1e-5)
-        b, m, f = logmel.shape
-        f_trim = (f // self.patch) * self.patch
-        x = logmel[:, :, :f_trim].reshape(b, m // self.patch, self.patch,
-                                          f_trim // self.patch, self.patch)
-        x = x.transpose(0, 1, 3, 2, 4).reshape(
-            b, (m // self.patch) * (f_trim // self.patch), self.patch * self.patch)
-        x = nn.Dense(self.width, name="patch_embed")(x)
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, self.max_patches, self.width))
-        x = x + pos[:, : x.shape[1]]
-        for i in range(self.depth):
-            x = TransformerEncoderBlock(self.width, self.heads, name=f"block{i}")(x)
-        x = nn.LayerNorm()(x).mean(axis=1)
-        x = nn.Dense(self.embed_dim, name="proj1")(x)
-        x = nn.gelu(x)
-        x = nn.Dense(self.embed_dim, name="proj2")(x)
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-
-
-class TextTower(nn.Module):
-    embed_dim: int = 512
-    width: int = 256
-    depth: int = 4
-    heads: int = 8
-    vocab: int = 260        # 256 bytes + BOS/EOS/PAD/UNK
-    max_len: int = 128
+class _PatchMerging(nn.Module):
+    """2x2 patch merge: norm(concat of the 4 phases) -> Linear(4C -> 2C)
+    (HF ClapAudioPatchMerging, modeling_clap.py:729-786)."""
+    resolution: tuple
+    ln_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """(B, L) int tokens -> (B, embed_dim) L2-normalised."""
-        x = nn.Embed(self.vocab, self.width, name="tok_embed")(tokens)
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, self.max_len, self.width))
-        x = x + pos[:, : x.shape[1]]
-        for i in range(self.depth):
-            x = TransformerEncoderBlock(self.width, self.heads, name=f"block{i}")(x)
-        x = nn.LayerNorm()(x)[:, 0]     # BOS/CLS pool
-        x = nn.Dense(self.embed_dim, name="proj")(x)
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+    def __call__(self, x):
+        h_res, w_res = self.resolution
+        b, L, c = x.shape
+        x = x.reshape(b, h_res, w_res, c)
+        if h_res % 2 or w_res % 2:
+            x = jnp.pad(x, ((0, 0), (0, h_res % 2), (0, w_res % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(b, -1, 4 * c)
+        x = nn.LayerNorm(epsilon=self.ln_eps, name="norm")(x)
+        return nn.Dense(2 * c, use_bias=False, name="reduction")(x)
 
 
-def tokenize_bytes(texts: Sequence[str], max_len: int = 128) -> np.ndarray:
-    """Byte-level tokenizer: [BOS=256] bytes... [EOS=257], pad 258."""
-    out = np.full((len(texts), max_len), 258, dtype=np.int32)
+# --------------------------------------------------------------------------
+# mel "image" reshaping (HTSAT reshape_mel2img)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix reproducing torch's bicubic
+    upsample with align_corners=True (Keys kernel a=-0.75, edge-clamped) —
+    HTSAT interpolates the mel time axis up to spec_size*freq_ratio with
+    exactly this call (HF modeling_clap.py:838-846)."""
+    a = -0.75
+
+    def w(x):
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1
+        if x < 2.0:
+            return a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a
+        return 0.0
+
+    m = np.zeros((n_out, n_in), dtype=np.float64)
+    scale = (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+    for o in range(n_out):
+        s = o * scale
+        i0 = int(np.floor(s))
+        t = s - i0
+        for off in (-1, 0, 1, 2):
+            m[o, min(max(i0 + off, 0), n_in - 1)] += w(off - t)
+    return m.astype(np.float32)
+
+
+def _reshape_mel2img(x: jnp.ndarray, cfg: ClapAudioCfg) -> jnp.ndarray:
+    """(B, C, T, F) log-mel -> (B, C, spec_size, spec_size) Swin input.
+
+    Time axis bicubic-interpolated up to spec_size*freq_ratio if shorter,
+    then the freq_ratio time-folds stack along frequency (HTSAT's
+    reshape_wav2img recipe; HF reshape_mel2img, modeling_clap.py:824-858).
+    """
+    b, ch, t, f = x.shape
+    r = cfg.freq_ratio
+    spec_w = cfg.spec_size * r
+    spec_h = cfg.spec_size // r
+    if t > spec_w or f > spec_h:
+        raise ValueError(f"mel input ({t}x{f}) exceeds swin size ({spec_w}x{spec_h})")
+    if t < spec_w:
+        x = jnp.einsum("ot,bctf->bcof", jnp.asarray(_bicubic_matrix(t, spec_w)), x)
+        t = spec_w
+    if f < spec_h:
+        x = jnp.einsum("of,bctf->bcto", jnp.asarray(_bicubic_matrix(f, spec_h)), x)
+        f = spec_h
+    x = x.reshape(b, ch * r, t // r, f)
+    x = x.transpose(0, 1, 3, 2)
+    return x.reshape(b, ch, f * r, t // r)
+
+
+# --------------------------------------------------------------------------
+# towers
+# --------------------------------------------------------------------------
+
+class HTSATAudioTower(nn.Module):
+    """HTSAT Swin transformer over the mel image -> pooled (B, num_features).
+
+    Parameter tree mirrors the checkpoint structure (patch_embed/{proj,norm},
+    layers_{i}/blocks_{j}/..., layers_{i}/downsample, norm, bn_*) so torch
+    laion_clap / HF ClapModel state dicts pour tensor-for-tensor.
+    """
+    cfg: ClapAudioCfg
+
+    @nn.compact
+    def __call__(self, input_features: jnp.ndarray) -> jnp.ndarray:
+        """input_features (B, 1, T, F) log-mel -> (B, num_features)."""
+        cfg = self.cfg
+        f_bins = input_features.shape[-1]
+        # BatchNorm2d over mel bins, inference mode (running stats poured
+        # from the checkpoint; identity at random init)
+        bn_scale = self.param("bn_scale", nn.initializers.ones, (f_bins,))
+        bn_bias = self.param("bn_bias", nn.initializers.zeros, (f_bins,))
+        bn_mean = self.param("bn_mean", nn.initializers.zeros, (f_bins,))
+        bn_var = self.param("bn_var", nn.initializers.ones, (f_bins,))
+        x = (input_features - bn_mean) * jax.lax.rsqrt(bn_var + 1e-5)
+        x = x * bn_scale + bn_bias
+
+        x = _reshape_mel2img(x, cfg)                      # (B, 1, S, S)
+        x = x.transpose(0, 2, 3, 1)                       # NHWC
+        pad = (cfg.patch_size - cfg.patch_stride) // 2
+        x = nn.Conv(cfg.patch_embed_hidden,
+                    (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_stride, cfg.patch_stride),
+                    padding=((pad, pad), (pad, pad)),
+                    name="patch_proj")(x)
+        b, gh, gw, c = x.shape
+        x = x.reshape(b, gh * gw, c)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="patch_norm")(x)
+
+        res = (gh, gw)
+        n_stages = len(cfg.depths)
+        for i in range(n_stages):
+            dim = cfg.patch_embed_hidden * 2 ** i
+            for j in range(cfg.depths[i]):
+                x = _SwinBlock(dim, cfg.heads[i], res, cfg.window,
+                               shift=0 if j % 2 == 0 else cfg.window // 2,
+                               mlp_ratio=cfg.mlp_ratio, ln_eps=cfg.ln_eps,
+                               name=f"layers_{i}_blocks_{j}")(x)
+            if i < n_stages - 1:
+                x = _PatchMerging(res, ln_eps=cfg.ln_eps,
+                                  name=f"layers_{i}_downsample")(x)
+                res = ((res[0] + 1) // 2, (res[1] + 1) // 2)
+
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)
+        # HTSAT regroups (C, F, T) before its adaptive avg pool; the pool
+        # spans every grid cell, so the regroup is mean-invariant and the
+        # pooled latent is exactly the sequence mean.
+        return x.mean(axis=1)
+
+
+class RobertaTextTower(nn.Module):
+    """RoBERTa encoder + tanh pooler -> (B, hidden).
+
+    Post-LN transformer with RoBERTa's padding-offset position ids
+    (position = cumsum(mask)*mask + pad_id; HF modeling_clap.py:101-116).
+    """
+    cfg: ClapTextCfg
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        if mask is None:
+            mask = (ids != cfg.pad_id).astype(jnp.int32)
+        pos_ids = jnp.cumsum(mask, axis=1) * mask + cfg.pad_id
+        x = nn.Embed(cfg.vocab, cfg.hidden, name="word_embeddings")(ids)
+        x = x + nn.Embed(cfg.max_pos, cfg.hidden, name="position_embeddings")(pos_ids)
+        type_table = self.param("token_type_embeddings",
+                                nn.initializers.normal(0.02),
+                                (cfg.type_vocab, cfg.hidden))
+        x = x + type_table[0]
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="embeddings_norm")(x)
+
+        additive = (1.0 - mask.astype(jnp.float32)) * -1e9   # (B, L)
+        hd = cfg.hidden // cfg.heads
+        for i in range(cfg.layers):
+            blk = f"layer_{i}"
+            h = x
+            q = nn.Dense(cfg.hidden, name=f"{blk}_query")(h)
+            k = nn.Dense(cfg.hidden, name=f"{blk}_key")(h)
+            v = nn.Dense(cfg.hidden, name=f"{blk}_value")(h)
+            b, L, _ = h.shape
+            q = q.reshape(b, L, cfg.heads, hd)
+            k = k.reshape(b, L, cfg.heads, hd)
+            v = v.reshape(b, L, cfg.heads, hd)
+            scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                                preferred_element_type=jnp.float32) / math.sqrt(hd)
+            scores = scores + additive[:, None, None, :]
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            att = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(b, L, cfg.hidden)
+            att = nn.Dense(cfg.hidden, name=f"{blk}_attn_out")(att)
+            x = nn.LayerNorm(epsilon=cfg.ln_eps, name=f"{blk}_attn_norm")(x + att)
+            y = nn.Dense(cfg.intermediate, name=f"{blk}_intermediate")(x)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(cfg.hidden, name=f"{blk}_output")(y)
+            x = nn.LayerNorm(epsilon=cfg.ln_eps, name=f"{blk}_out_norm")(x + y)
+
+        pooled = nn.Dense(cfg.hidden, name="pooler")(x[:, 0])
+        return jnp.tanh(pooled)
+
+
+class ProjectionMLP(nn.Module):
+    """Linear-ReLU-Linear to the shared embedding space (laion_clap
+    audio/text_projection Sequential; HF ClapProjectionLayer)."""
+    out_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, name="linear1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out_dim, name="linear2")(x)
+
+
+class ClapAudioEmbedder(nn.Module):
+    """Audio tower + projection + L2 normalise: input_features -> (B, 512)."""
+    cfg: ClapAudioCfg
+
+    @nn.compact
+    def __call__(self, input_features):
+        pooled = HTSATAudioTower(self.cfg, name="audio_branch")(input_features)
+        e = ProjectionMLP(self.cfg.projection_dim, name="audio_projection")(pooled)
+        return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
+
+
+class ClapTextEmbedder(nn.Module):
+    """Text tower + projection + L2 normalise: token ids -> (B, 512)."""
+    cfg: ClapTextCfg
+
+    @nn.compact
+    def __call__(self, ids, mask=None):
+        pooled = RobertaTextTower(self.cfg, name="text_branch")(ids, mask)
+        e = ProjectionMLP(self.cfg.projection_dim, name="text_projection")(pooled)
+        return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
+
+
+# --------------------------------------------------------------------------
+# tokenizer + waveform front-end
+# --------------------------------------------------------------------------
+
+def tokenize(texts: Sequence[str], cfg: ClapTextCfg) -> np.ndarray:
+    """list[str] -> (N, L) int32 RoBERTa-style ids.
+
+    Uses a locally cached HF RobertaTokenizer when one exists (the BPE
+    vocab cannot be fetched in this zero-egress environment); otherwise
+    byte-level ids in the reserved low range of the vocab: <s>=0, <pad>=1,
+    </s>=2, bytes at 4..259 (all < any RoBERTa vocab size, so poured
+    checkpoints still run — embeddings for these rows are then those of
+    rare BPE tokens; exact text parity needs the real tokenizer files).
+    """
+    try:  # pragma: no cover - exercised only where HF cache exists
+        import os
+        from transformers import RobertaTokenizerFast
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        tok = RobertaTokenizerFast.from_pretrained("roberta-base",
+                                                   local_files_only=True)
+        # guard against a mismatched local cache (e.g. a BERT vocab under
+        # the same name): a real RoBERTa tokenizer maps <s> to id 0
+        if tok.convert_tokens_to_ids("<s>") != 0 or tok.pad_token_id != cfg.pad_id:
+            raise ValueError("cached tokenizer is not RoBERTa-compatible")
+        enc = tok(list(texts), padding=True, truncation=True,
+                  max_length=cfg.max_len, return_tensors="np")
+        return enc["input_ids"].astype(np.int32)
+    except Exception:
+        pass
+    out = np.full((len(texts), cfg.max_len), cfg.pad_id, dtype=np.int32)
     for i, t in enumerate(texts):
-        ids = [256] + list(t.encode("utf-8")[: max_len - 2]) + [257]
+        ids = [0] + [4 + b for b in t.encode("utf-8")[: cfg.max_len - 2]] + [2]
         out[i, : len(ids)] = ids
-    return out
+    longest = max((int((row != cfg.pad_id).sum()) for row in out), default=2)
+    return out[:, : max(longest, 2)]
 
+
+def audio_to_input_features(x: jnp.ndarray, cfg: ClapAudioCfg) -> jnp.ndarray:
+    """(B, T) mono waveform -> (B, 1, frames, n_mels) log10-mel features.
+
+    laion_clap front-end semantics: repeat-pad short clips to clip_samples,
+    centre-crop long ones (deterministic stand-in for rand_trunc), 1024-fft
+    hann mel (HTK scale, 50..14000 Hz), 10*log10(max(power, 1e-10)).
+    """
+    b, t = x.shape
+    clip = cfg.clip_samples
+    if t < clip:
+        reps = -(-clip // t)
+        x = jnp.tile(x, (1, reps))[:, :clip]
+    elif t > clip:
+        start = (t - clip) // 2
+        x = x[:, start : start + clip]
+    mel = melspectrogram(x, cfg.sample_rate, cfg.n_fft, cfg.hop,
+                         n_mels=cfg.num_mel_bins, power=2.0,
+                         f_min=cfg.f_min, f_max=cfg.f_max)   # (B, mels, F)
+    logmel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    return logmel.transpose(0, 2, 1)[:, None]                # (B, 1, F, mels)
+
+
+# --------------------------------------------------------------------------
+# host-side module (laion_clap.CLAP_Module call surface)
+# --------------------------------------------------------------------------
 
 class CLAPModule:
-    """Host-side bundle exposing the laion_clap call surface.
-
-    `enable_fusion`/`amodel` accepted for signature parity with
-    laion_clap.CLAP_Module (reference given_models.py:573).
-    """
+    """Host-side bundle exposing the laion_clap call surface
+    (reference given_models.py:573: CLAP_Module(enable_fusion, amodel))."""
 
     def __init__(self, enable_fusion: bool = True, amodel: str = "HTSAT-base",
                  embed_dim: int = 512, audio_cfg: Optional[dict] = None,
@@ -131,45 +546,76 @@ class CLAPModule:
         self.enable_fusion = enable_fusion
         self.amodel = amodel
         self.embed_dim = embed_dim
-        self.audio_tower = AudioTower(embed_dim=embed_dim, **(audio_cfg or {}))
-        self.text_tower = TextTower(embed_dim=embed_dim, **(text_cfg or {}))
+        a = dict(audio_cfg or {})
+        a.setdefault("patch_embed_hidden", _AMODEL_EMBED.get(amodel, 128))
+        a.setdefault("projection_dim", embed_dim)
+        for k in ("depths", "heads"):       # JSON configs carry lists
+            if k in a:
+                a[k] = tuple(a[k])
+        t = dict(text_cfg or {})
+        t.setdefault("projection_dim", embed_dim)
+        self.audio_cfg = ClapAudioCfg(**a)
+        self.text_cfg = ClapTextCfg(**t)
+        self.audio_model = ClapAudioEmbedder(self.audio_cfg)
+        self.text_model = ClapTextEmbedder(self.text_cfg)
         self._key = jax.random.PRNGKey(seed)
         self.audio_params = None
         self.text_params = None
         self._audio_jit = None
         self._text_jit = None
 
+    def _make_jits(self):
+        # One jit program per call path: the mel front-end runs INSIDE the
+        # jit (long eager op chains are both slower and flaky on the axon
+        # relay; a single compiled program is stable)
+        cfg = self.audio_cfg
+        self._audio_jit = jax.jit(
+            lambda p, wav: self.audio_model.apply(
+                p, audio_to_input_features(wav, cfg)))
+        self._text_jit = jax.jit(self.text_model.apply)
+
     def _ensure_init(self, audio_len: int = 48000):
         if self.audio_params is None:
             k1, k2, self._key = jax.random.split(self._key, 3)
-            self.audio_params = self.audio_tower.init(k1, jnp.zeros((1, audio_len)))
-            self.text_params = self.text_tower.init(
+            feats = audio_to_input_features(jnp.zeros((1, 256)), self.audio_cfg)
+            self.audio_params = self.audio_model.init(k1, feats)
+            self.text_params = self.text_model.init(
                 k2, jnp.zeros((1, 8), jnp.int32))
-            self._audio_jit = jax.jit(self.audio_tower.apply)
-            self._text_jit = jax.jit(self.text_tower.apply)
+            self._make_jits()
 
     def load_ckpt(self, ckpt=None, model_id=None, verbose: bool = False):
         """laion_clap signature parity (reference given_models.py:682-688).
-        Pours a torch laion_clap state dict into the towers: projection
-        MLPs map explicitly (audio_projection.{0,2} -> proj1/proj2,
-        text_projection.2 -> proj) and branch tensors pour by shape where
-        the widths align; Swin-windowed HTSAT interior tensors that cannot
-        map onto the full-attention rebuild are counted and reported, never
-        silently dropped."""
+        Pours a torch CLAP state dict (laion_clap/timm naming with fused
+        qkv, or HF transformers ClapModel naming) into the towers; the
+        tower configs are re-inferred from the checkpoint's shapes first so
+        any HTSAT/RoBERTa size pours completely. Fusion-branch and
+        classifier-head tensors are counted and reported, never silently
+        dropped."""
         if ckpt is None:
             if verbose:
                 print("CLAPModule: no checkpoint provided, keeping weights")
             return
         from ..checkpoint import load_torch_checkpoint
-        from ..convert import convert_clap_state_dict
+        from ..convert import convert_clap_state_dict, infer_clap_cfgs
 
         try:
             sd = load_torch_checkpoint(ckpt)
             if verbose:
                 print(f"CLAPModule: loaded {len(sd)} tensors from {ckpt}")
+            a_cfg, t_cfg = infer_clap_cfgs(sd, self.audio_cfg, self.text_cfg)
+            if a_cfg != self.audio_cfg or t_cfg != self.text_cfg:
+                if verbose:
+                    print("CLAPModule: re-instantiating towers to checkpoint "
+                          f"config (audio {a_cfg.patch_embed_hidden}-wide, "
+                          f"text {t_cfg.hidden}-wide)")
+                self.audio_cfg, self.text_cfg = a_cfg, t_cfg
+                self.audio_model = ClapAudioEmbedder(a_cfg)
+                self.text_model = ClapTextEmbedder(t_cfg)
+                self.audio_params = None
             self._ensure_init()
             self.audio_params, self.text_params, hits, misses = \
                 convert_clap_state_dict(sd, self.audio_params, self.text_params)
+            self._make_jits()
         except Exception as e:   # mirror reference fallback (given_models.py:354)
             print(f"CLAPModule: {e}. Going with random weights")
 
@@ -179,10 +625,10 @@ class CLAPModule:
         if x.ndim == 1:
             x = x[None]
         self._ensure_init(x.shape[-1])
-        return self._audio_jit(self.audio_params, x)
+        return self._audio_jit(self.audio_params, x.astype(jnp.float32))
 
     def get_text_embedding(self, texts: Sequence[str], use_tensor: bool = True) -> jnp.ndarray:
         """list[str] -> (N, 512)."""
         self._ensure_init()
-        tokens = jnp.asarray(tokenize_bytes(list(texts)))
+        tokens = jnp.asarray(tokenize(list(texts), self.text_cfg))
         return self._text_jit(self.text_params, tokens)

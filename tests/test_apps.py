@@ -14,7 +14,8 @@ from audio_algebra_tpu.checkpoint import (
     remap_ema_weights, torch_to_flax_array, convert_state_dict,
     load_torch_checkpoint,
 )
-from audio_algebra_tpu.models.clap import CLAPModule, tokenize_bytes
+from audio_algebra_tpu.models.clap import (
+    CLAPModule, ClapTextCfg, tokenize, TINY_AUDIO_CFG, TINY_TEXT_CFG)
 
 
 # ----------------------------------------------------------- mirage ---
@@ -66,8 +67,8 @@ TINY_KW = dict(
                       latent_num_blocks=(1, 1), diffusion_c_mults=(8, 16),
                       diffusion_depth=2, channels=8, multipliers=(1, 2),
                       factors2=(2,), num_blocks=(1,), attentions=(0, 1)),
-    clap_kwargs=dict(audio_cfg=dict(width=32, depth=1, heads=2, max_patches=512),
-                     text_cfg=dict(width=32, depth=1, heads=2)))
+    clap_kwargs=dict(audio_cfg=dict(**TINY_AUDIO_CFG),
+                     text_cfg=dict(**TINY_TEXT_CFG)))
 
 
 @pytest.mark.slow
@@ -184,14 +185,16 @@ def test_load_torch_checkpoint_and_convert(tmp_path):
 # -------------------------------------------------------------- CLAP ---
 
 def test_tokenize_bytes():
-    toks = tokenize_bytes(["hi", "a much longer piece of text"])
-    assert toks.shape[0] == 2 and toks[0, 0] == 256
-    assert toks[0, 3] == 257 and toks[0, 4] == 258  # EOS then pad
+    cfg = ClapTextCfg(**TINY_TEXT_CFG)
+    toks = tokenize(["hi", "a much longer piece of text"], cfg)
+    assert toks.shape[0] == 2 and toks[0, 0] == 0          # <s>
+    assert toks[0, 3] == 2 and toks[0, 4] == cfg.pad_id    # </s> then pad
+    assert toks.max() < cfg.vocab
 
 
 def test_clap_module_embeddings():
-    clap = CLAPModule(audio_cfg=dict(width=32, depth=1, heads=2, max_patches=256),
-                      text_cfg=dict(width=32, depth=1, heads=2))
+    clap = CLAPModule(audio_cfg=dict(**TINY_AUDIO_CFG),
+                      text_cfg=dict(**TINY_TEXT_CFG))
     a = np.random.default_rng(0).standard_normal((2, 4800)).astype(np.float32)
     emb = clap.get_audio_embedding_from_data(a)
     assert emb.shape == (2, 512)
@@ -204,7 +207,7 @@ def test_clap_module_embeddings():
 
 
 def test_clap_load_ckpt_fallback(capsys):
-    clap = CLAPModule(audio_cfg=dict(width=32, depth=1, heads=2, max_patches=256),
-                      text_cfg=dict(width=32, depth=1, heads=2))
+    clap = CLAPModule(audio_cfg=dict(**TINY_AUDIO_CFG),
+                      text_cfg=dict(**TINY_TEXT_CFG))
     clap.load_ckpt(ckpt="/nonexistent/path.pt", verbose=True)
     assert "random weights" in capsys.readouterr().out

@@ -199,64 +199,107 @@ def test_rave_torchscript_load_and_pour(tmp_path):
     _assert_mostly_landed(w.params, target)
 
 
-def test_convert_clap_projections():
-    from audio_algebra_tpu.models.clap import CLAPModule
+def _tiny_clap():
+    from audio_algebra_tpu.models.clap import (
+        CLAPModule, TINY_AUDIO_CFG, TINY_TEXT_CFG)
 
-    clap = CLAPModule(audio_cfg={"width": 32, "depth": 1, "heads": 2,
-                                 "max_patches": 64},
-                      text_cfg={"width": 32, "depth": 1, "heads": 2})
+    clap = CLAPModule(audio_cfg=dict(**TINY_AUDIO_CFG),
+                      text_cfg=dict(**TINY_TEXT_CFG))
     clap._ensure_init(4096)
+    return clap
+
+
+def test_convert_clap_laion_dialect():
+    """laion_clap/timm naming pours: Sequential projections (indices 0/2),
+    fused qkv split into thirds, norm1/norm2 -> layernorm before/after,
+    bn0 running stats, patch-embed conv layout."""
+    clap = _tiny_clap()
     rng = np.random.default_rng(13)
+    hid = clap.audio_cfg.patch_embed_hidden
 
-    def dense_like(tree, path):
-        flat = _flat_dict(tree)
-        return flat[path].shape
-
-    a_flat = _flat_dict(clap.audio_params)
-    t_flat = _flat_dict(clap.text_params)
-    p1k = a_flat["params/proj1/kernel"].shape
-    p2k = a_flat["params/proj2/kernel"].shape
-    tpk = t_flat["params/proj/kernel"].shape
-
-    p1 = rng.standard_normal(p1k).astype(np.float32)
-    p2 = rng.standard_normal(p2k).astype(np.float32)
-    tp = rng.standard_normal(tpk).astype(np.float32)
+    qkv_w = rng.standard_normal((3 * hid, hid)).astype(np.float32)
+    qkv_b = rng.standard_normal(3 * hid).astype(np.float32)
+    pe_w = rng.standard_normal((hid, 1, 4, 4)).astype(np.float32)
+    p1 = rng.standard_normal((512, clap.audio_cfg.num_features)).astype(np.float32)
+    p2 = rng.standard_normal((512, 512)).astype(np.float32)
+    tp2 = rng.standard_normal((512, 512)).astype(np.float32)
+    bn_mean = rng.standard_normal(8).astype(np.float32)
+    fc1 = rng.standard_normal((4 * hid, hid)).astype(np.float32)
     sd = {
-        "audio_projection.0.weight": _torch_layout(p1),
-        "audio_projection.0.bias": rng.standard_normal(p1k[1]).astype(np.float32),
-        "audio_projection.2.weight": _torch_layout(p2),
-        "text_projection.2.weight": _torch_layout(tp),
-        # a Swin tensor that cannot map (wrong shape) -> reported missed
-        "audio_branch.layers.0.blocks.0.attn.qkv.weight":
-            rng.standard_normal((96, 32)).astype(np.float32),
+        "audio_projection.0.weight": p1,
+        "audio_projection.0.bias": rng.standard_normal(512).astype(np.float32),
+        "audio_projection.2.weight": p2,
+        "text_projection.2.weight": tp2,
+        "audio_branch.bn0.running_mean": bn_mean,
+        "audio_branch.patch_embed.proj.weight": pe_w,
+        "audio_branch.layers.0.blocks.0.attn.qkv.weight": qkv_w,
+        "audio_branch.layers.0.blocks.0.attn.qkv.bias": qkv_b,
+        "audio_branch.layers.0.blocks.0.norm1.weight":
+            rng.standard_normal(hid).astype(np.float32),
+        "audio_branch.layers.0.blocks.0.mlp.fc1.weight": fc1,
+        # non-embedding tensors: skipped with a report, never poured
+        "audio_branch.tscam_conv.weight":
+            rng.standard_normal((4, 4, 3, 3)).astype(np.float32),
+        "audio_branch.attn.relative_position_index":
+            np.zeros((16, 16), np.int64),
     }
     new_audio, new_text, hits, misses = convert_clap_state_dict(
         sd, clap.audio_params, clap.text_params)
-    assert hits >= 4, (hits, misses)
+    assert hits >= 9, (hits, misses)
+    assert not misses, misses
     na = _flat_dict(new_audio)
     nt = _flat_dict(new_text)
-    np.testing.assert_allclose(na["params/proj1/kernel"], p1, atol=1e-6)
-    np.testing.assert_allclose(na["params/proj2/kernel"], p2, atol=1e-6)
-    np.testing.assert_allclose(nt["params/proj/kernel"], tp, atol=1e-6)
+    np.testing.assert_allclose(
+        na["params/audio_projection/linear1/kernel"], p1.T, atol=1e-6)
+    np.testing.assert_allclose(
+        na["params/audio_projection/linear2/kernel"], p2.T, atol=1e-6)
+    np.testing.assert_allclose(
+        nt["params/text_projection/linear2/kernel"], tp2.T, atol=1e-6)
+    np.testing.assert_allclose(na["params/audio_branch/bn_mean"], bn_mean)
+    np.testing.assert_allclose(
+        na["params/audio_branch/patch_proj/kernel"],
+        pe_w.transpose(2, 3, 1, 0), atol=1e-6)
+    blk = "params/audio_branch/layers_0_blocks_0"
+    np.testing.assert_allclose(na[f"{blk}/attn/query/kernel"],
+                               qkv_w[:hid].T, atol=1e-6)
+    np.testing.assert_allclose(na[f"{blk}/attn/value/bias"],
+                               qkv_b[2 * hid:], atol=1e-6)
+    np.testing.assert_allclose(na[f"{blk}/intermediate/kernel"],
+                               fc1.T, atol=1e-6)
 
 
-def test_convert_clap_patch_embed_conv():
-    """HTSAT's Conv2d(1->W, 4x4) patch embed reshapes exactly onto the
-    rebuild's Dense(16->W) patch embed when widths align."""
-    from audio_algebra_tpu.models.clap import CLAPModule
+def test_infer_clap_cfgs_from_sd():
+    """Tower hyperparameters reconstruct from checkpoint shapes alone."""
+    from audio_algebra_tpu.convert import infer_clap_cfgs
+    from audio_algebra_tpu.models.clap import ClapAudioCfg, ClapTextCfg
 
-    clap = CLAPModule(audio_cfg={"width": 32, "depth": 1, "heads": 2,
-                                 "max_patches": 64},
-                      text_cfg={"width": 32, "depth": 1, "heads": 2})
-    clap._ensure_init(4096)
-    rng = np.random.default_rng(17)
-    w4 = rng.standard_normal((32, 1, 4, 4)).astype(np.float32)
-    sd = {"audio_branch.patch_embed.proj.weight": w4,
-          "audio_branch.patch_embed.proj.bias":
-              rng.standard_normal(32).astype(np.float32)}
-    new_audio, _, hits, _ = convert_clap_state_dict(
-        sd, clap.audio_params, clap.text_params)
-    assert hits >= 1
-    flat = _flat_dict(new_audio)
-    np.testing.assert_allclose(flat["params/patch_embed/kernel"],
-                               w4.reshape(32, 16).T, atol=1e-6)
+    rng = np.random.default_rng(3)
+    hid, window, heads = 24, 4, (3, 6)
+    sd = {
+        "audio_branch.patch_embed.proj.weight":
+            rng.standard_normal((hid, 1, 4, 4)).astype(np.float32),
+        "audio_branch.bn0.weight": np.ones(16, np.float32),
+        "audio_branch.layers.0.blocks.0.attn.relative_position_bias_table":
+            np.zeros(((2 * window - 1) ** 2, heads[0]), np.float32),
+        "audio_branch.layers.0.blocks.1.norm1.weight": np.ones(hid, np.float32),
+        "audio_branch.layers.1.blocks.0.attn.relative_position_bias_table":
+            np.zeros(((2 * window - 1) ** 2, heads[1]), np.float32),
+        "audio_branch.layers.0.blocks.0.mlp.fc1.weight":
+            rng.standard_normal((4 * hid, hid)).astype(np.float32),
+        "text_branch.embeddings.word_embeddings.weight":
+            rng.standard_normal((512, 128)).astype(np.float32),
+        "text_branch.embeddings.position_embeddings.weight":
+            rng.standard_normal((80, 128)).astype(np.float32),
+        "text_branch.encoder.layer.0.intermediate.dense.weight":
+            rng.standard_normal((256, 128)).astype(np.float32),
+        "text_branch.encoder.layer.1.intermediate.dense.weight":
+            rng.standard_normal((256, 128)).astype(np.float32),
+        "audio_projection.2.weight": rng.standard_normal((320, 320)).astype(np.float32),
+    }
+    a, t = infer_clap_cfgs(sd, ClapAudioCfg(), ClapTextCfg())
+    assert a.patch_embed_hidden == hid and a.window == window
+    assert a.depths == (2, 1) and a.heads == heads
+    assert a.num_mel_bins == 16 and a.mlp_ratio == 4
+    assert a.projection_dim == 320 and t.projection_dim == 320
+    assert t.vocab == 512 and t.hidden == 128 and t.heads == 2
+    assert t.layers == 2 and t.max_pos == 80 and t.intermediate == 256

@@ -8,6 +8,7 @@ from audio_algebra_tpu.given_models import (
     MelSpectrogramAE, DVAEWrapper, StackedDiffAEWrapper, DMAE1d, RAVEWrapper,
     CLAPDAE,
 )
+from audio_algebra_tpu.models.clap import TINY_AUDIO_CFG, TINY_TEXT_CFG
 
 
 @pytest.fixture(scope="module")
@@ -162,8 +163,8 @@ TINY_CLAPDAE = dict(
                       diffusion_c_mults=(8, 16), diffusion_depth=2,
                       channels=8, multipliers=(1, 2), factors2=(2,),
                       num_blocks=(1,), attentions=(0, 1)),
-    clap_kwargs=dict(audio_cfg=dict(width=32, depth=1, heads=2, max_patches=512),
-                     text_cfg=dict(width=32, depth=1, heads=2)))
+    clap_kwargs=dict(audio_cfg=dict(**TINY_AUDIO_CFG),
+                     text_cfg=dict(**TINY_TEXT_CFG)))
 
 
 def test_clapdae_embed_and_generate():

@@ -79,9 +79,13 @@ def test_train_clapdae_cli_and_resume(train_env, tmp_path):
             "channels": 8, "multipliers": [1, 2, 2], "factors2": [1, 2],
             "num_blocks": [1, 1], "attentions": [0, 0, 1]},
         "clap_kwargs": {
-            "audio_cfg": {"width": 16, "depth": 1, "heads": 2,
-                          "max_patches": 256},
-            "text_cfg": {"width": 16, "depth": 1, "heads": 2}},
+            "audio_cfg": {"spec_size": 32, "num_mel_bins": 8,
+                          "patch_embed_hidden": 16, "depths": [1, 1],
+                          "heads": [2, 2], "window": 4, "n_fft": 256,
+                          "hop": 64, "clip_samples": 4096},
+            "text_cfg": {"vocab": 300, "hidden": 32, "layers": 1,
+                         "heads": 2, "intermediate": 64, "max_pos": 80,
+                         "max_len": 16}},
     }, open(mc, "w"))
     ini = tmp_path / "clapdae.ini"
     write_defaults_ini(str(ini), overrides=dict(
