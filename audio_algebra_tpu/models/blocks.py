@@ -89,6 +89,18 @@ def turbo_int8() -> bool:
     return os.environ.get("AA_TURBO_INT8") == "1"
 
 
+def quantize_act(x: jnp.ndarray, amax: jnp.ndarray):
+    """Per-channel symmetric int8 quantisation of an activation tensor given
+    a per-channel |x| bound (turbo conv1 path: the bound comes free from the
+    previous block's GN residual-apply kernel, see groupnorm.emit_amax).
+    Returns (int8 tensor, per-channel scales (C,) f32). One fused XLA
+    elementwise pass: reads 2 B/elt, writes 1 B/elt."""
+    s = (jnp.maximum(amax.astype(jnp.float32), 1e-6) / 127.0)
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127) \
+            .astype(jnp.int8)
+    return x8, s
+
+
 def conv1d_int8(x8: jnp.ndarray, x_scale: jnp.ndarray, kernel: jnp.ndarray,
                 bias: Optional[jnp.ndarray], out_dtype) -> jnp.ndarray:
     """SAME conv of an int8 activation tensor against a bf16/f32 kernel.
@@ -175,12 +187,16 @@ class GroupNorm1(nn.Module):
     quant_bound_sigmas: float = 6.0   # turbo: clip normalised values at ±6σ
 
     @nn.compact
-    def __call__(self, x, residual=None, quantize: bool = False):
+    def __call__(self, x, residual=None, quantize: bool = False,
+                 emit_amax: bool = False):
         """With `residual`, returns residual + [gelu](gn(x)) — the block's
         skip-add folded into the same kernel pass. With `quantize` (turbo
         int8), returns (int8 tensor, per-channel scales (C,)): post-norm
         channel c is bounded by A*|scale_c| + |bias_c| (A = ±6 standardised
-        sigmas), so the quantisation grid is analytic — no amax pass."""
+        sigmas), so the quantisation grid is analytic — no amax pass. With
+        `emit_amax` (turbo, requires residual), returns (out, per-channel
+        amax (C,)) — the bound for quantising the NEXT block's conv1 input,
+        accumulated for free inside the apply pass."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -198,7 +214,11 @@ class GroupNorm1(nn.Module):
                                           gelu=self.fuse_gelu,
                                           residual=residual,
                                           quant_scale=q_scales,
-                                          stats_stride=stride)
+                                          stats_stride=stride,
+                                          emit_amax=emit_amax
+                                          and residual is not None)
+            if emit_amax:
+                return out if residual is not None else (out, None)
             return (out, q_scales) if quantize else out
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
@@ -212,7 +232,12 @@ class GroupNorm1(nn.Module):
             y8 = jnp.clip(jnp.round(y / q_scales), -127, 127).astype(jnp.int8)
             return y8, q_scales
         y = y.astype(x.dtype)
-        return y if residual is None else residual + y
+        out = y if residual is None else residual + y
+        if emit_amax:
+            amax = (jnp.max(jnp.abs(out.astype(jnp.float32)), axis=(0, 1))
+                    if residual is not None else None)
+            return out, amax
+        return out
 
 
 class ResConvBlock(nn.Module):
@@ -227,25 +252,43 @@ class ResConvBlock(nn.Module):
     is_last: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x_amax=None, emit_amax: bool = False):
+        """Turbo extras: `x_amax` (C_in,) is a per-channel |x| bound (from
+        the previous block's emit_amax) — when present, conv1 also runs on
+        the int8 MXU. With `emit_amax`, returns (out, amax) where amax
+        bounds |out| per channel (None for is_last blocks, which have no
+        final GN pass to compute it in)."""
         from ..ops.pallas import groupnorm as pgn
         c_in = x.shape[-1]
+        turbo = turbo_int8() and x.dtype in (jnp.bfloat16, jnp.float32) \
+            and pgn.supported(x.shape, x.dtype)
         skip = x if c_in == self.c_out else nn.Dense(self.c_out, use_bias=False,
                                                      name="skip_proj")(x)
-        h = Conv1d(self.c_mid, 5, name="Conv1d_0")(x)
+        if turbo and x_amax is not None and c_in % 128 == 0:
+            # conv1 on the int8 MXU: the dynamic amax from the previous
+            # block's GN pass gives an exact per-channel grid for the
+            # residual stream (which has no analytic bound)
+            x8, s_x = quantize_act(x, x_amax)
+            h = Conv1d(self.c_mid, 5, name="Conv1d_0")(x8, x_scale=s_x,
+                                                       out_dtype=x.dtype)
+        else:
+            h = Conv1d(self.c_mid, 5, name="Conv1d_0")(x)
         # turbo int8 (opt-in): GN_0 emits int8, conv2 runs on the int8 MXU
-        if turbo_int8() and h.dtype in (jnp.bfloat16, jnp.float32) \
-                and pgn.supported(h.shape, h.dtype):
-            h8, s_x = GroupNorm1(fuse_gelu=True, name="GroupNorm_0")(
+        if turbo and pgn.supported(h.shape, h.dtype):
+            h8, s_h = GroupNorm1(fuse_gelu=True, name="GroupNorm_0")(
                 h, quantize=True)
-            h = Conv1d(self.c_out, 5, name="Conv1d_1")(h8, x_scale=s_x,
+            h = Conv1d(self.c_out, 5, name="Conv1d_1")(h8, x_scale=s_h,
                                                        out_dtype=x.dtype)
         else:
             h = GroupNorm1(fuse_gelu=True, name="GroupNorm_0")(h)
             h = Conv1d(self.c_out, 5, name="Conv1d_1")(h)
         if self.is_last:
-            return skip + h
-        return GroupNorm1(fuse_gelu=True, name="GroupNorm_1")(h, residual=skip)
+            out = skip + h
+            return (out, None) if emit_amax else out
+        gn1 = GroupNorm1(fuse_gelu=True, name="GroupNorm_1")
+        if emit_amax:
+            return gn1(h, residual=skip, emit_amax=True)
+        return gn1(h, residual=skip)
 
 
 class SelfAttention1d(nn.Module):

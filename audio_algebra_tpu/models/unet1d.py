@@ -24,29 +24,46 @@ from flax import linen as nn
 
 from .blocks import (
     Conv1d, FourierFeatures, ResConvBlock, SelfAttention1d,
-    Downsample1d, Upsample1d, timestep_broadcast, upsample_to,
+    Downsample1d, Upsample1d, timestep_broadcast, upsample_to, turbo_int8,
 )
 
 
 class _Level(nn.Module):
-    """Three ResConvBlocks with optional interleaved self-attention."""
+    """Three ResConvBlocks with optional interleaved self-attention.
+
+    Returns (x, amax): in turbo mode the per-channel |x| bound of the level
+    output rides along (free, from each block's GN residual-apply kernel)
+    so the next consumer's conv1 can run on the int8 MXU. Attention between
+    blocks invalidates the bound, so attn levels thread None."""
     c_mid: int
     c_out: int
     attn: bool
     is_last: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        x = ResConvBlock(self.c_mid, self.c_mid)(x)
+    def __call__(self, x, x_amax=None):
+        turbo = turbo_int8()
+        emit = turbo and not self.attn
+        x = ResConvBlock(self.c_mid, self.c_mid)(x, x_amax=x_amax,
+                                                 emit_amax=emit)
+        a = None
+        if emit:
+            x, a = x
         if self.attn:
             x = SelfAttention1d(max(1, self.c_mid // 32))(x)
-        x = ResConvBlock(self.c_mid, self.c_mid)(x)
+        x = ResConvBlock(self.c_mid, self.c_mid)(x, x_amax=a, emit_amax=emit)
+        if emit:
+            x, a = x
         if self.attn:
             x = SelfAttention1d(max(1, self.c_mid // 32))(x)
-        x = ResConvBlock(self.c_mid, self.c_out, is_last=self.is_last)(x)
+        x = ResConvBlock(self.c_mid, self.c_out,
+                         is_last=self.is_last)(x, x_amax=a, emit_amax=emit)
+        a = None
+        if emit:
+            x, a = x
         if self.attn and not self.is_last:
             x = SelfAttention1d(max(1, self.c_out // 32))(x)
-        return x
+        return x, a
 
 
 class DiffusionAttnUnet1D(nn.Module):
@@ -76,19 +93,29 @@ class DiffusionAttnUnet1D(nn.Module):
 
         attn_start = depth - self.n_attn_layers           # levels >= this get attention
 
+        # turbo: thread the per-channel |h| bound alongside h. The fixed
+        # [1,3,3,1] resample taps are non-negative and sum to 1 (convex
+        # combinations per channel), so the bound survives Downsample1d /
+        # Upsample1d unchanged; skip concat concatenates the bounds.
         skips = []
+        a = None
         for i in range(depth - 1):
-            h = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(h)
-            skips.append(h)
+            h, a = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(
+                h, x_amax=a)
+            skips.append((h, a))
             h = Downsample1d()(h)
 
-        h = _Level(c_mults[depth - 1], c_mults[depth - 1],
-                   attn=depth - 1 >= attn_start)(h)
+        h, a = _Level(c_mults[depth - 1], c_mults[depth - 1],
+                      attn=depth - 1 >= attn_start)(h, x_amax=a)
 
         for i in reversed(range(depth - 1)):
             h = Upsample1d()(h)
-            h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(h)
+            h_skip, a_skip = skips.pop()
+            h = jnp.concatenate([h, h_skip], axis=-1)
+            a = jnp.concatenate([a, a_skip]) \
+                if a is not None and a_skip is not None else None
+            h, a = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(
+                h, x_amax=a)
 
-        out = ResConvBlock(c_mults[0], n_io, is_last=True)(h)
+        out = ResConvBlock(c_mults[0], n_io, is_last=True)(h, x_amax=a)
         return jnp.swapaxes(out, -1, -2)

@@ -93,13 +93,38 @@ def _apply_res_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
     o_ref[...] = (res_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("gelu", "eps", "stats_stride"))
+def _apply_res_amax_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
+                               o_ref, amax_ref, *, gelu: bool):
+    """apply + residual add + free per-channel amax of the OUTPUT (turbo:
+    the amax sets the int8 grid for the NEXT block's first conv, so the
+    residual stream quantises with a dynamic, exact bound instead of an
+    analytic one that compounds down the depth). The amax accumulates
+    across the sequential TPU grid into a single (1, B, C) block — zero
+    extra HBM passes over the plain residual apply."""
+    y = _gn_core(x_ref, stats_ref, scale_ref, bias_ref, gelu)
+    out = res_ref[...].astype(jnp.float32) + y
+    o_ref[...] = out.astype(o_ref.dtype)
+    tile_amax = jnp.max(jnp.abs(out), axis=0, keepdims=True)   # (1, B, C)
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        amax_ref[...] = tile_amax
+
+    @pl.when(j > 0)
+    def _acc():
+        amax_ref[...] = jnp.maximum(amax_ref[...], tile_amax)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gelu", "eps", "stats_stride", "emit_amax"))
 def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                         bias: jnp.ndarray, gelu: bool = True,
                         eps: float = 1e-6,
                         residual: jnp.ndarray | None = None,
                         quant_scale: jnp.ndarray | None = None,
-                        stats_stride: int = 1) -> jnp.ndarray:
+                        stats_stride: int = 1,
+                        emit_amax: bool = False) -> jnp.ndarray:
     """GroupNorm(1) [+GELU] [+residual add] on a (B, T, C) tensor via the
     (T, B, C) view, keeping the conv layout end to end (see comment above).
     With `residual`, returns residual + gelu(gn(x)). With `quant_scale`
@@ -108,7 +133,12 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
     conv path — quantisation costs zero extra HBM passes. `stats_stride`
     > 1 (turbo only) estimates the statistics from every stride-th tile —
     at 16M elements a 1/4 sample changes mu/rstd by ~0.05%, far below the
-    int8 grid, and saves most of the stats pass's HBM read."""
+    int8 grid, and saves most of the stats pass's HBM read. With
+    `emit_amax` (turbo, requires residual), returns (out, per-channel
+    amax (C,) f32 of out) computed for free inside the apply pass."""
+    if emit_amax:
+        assert residual is not None and quant_scale is None, \
+            "emit_amax is the residual-apply variant (turbo conv1 path)"
     b, t_len, c = x.shape
     xt = jnp.swapaxes(x, 0, 1)                  # (T, B, C) — bitcast
     tile = t_len
@@ -181,6 +211,24 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                 flops=10 * t_len * b * c, transcendentals=t_len * b * c,
                 bytes_accessed=2 * t_len * b * c * x.dtype.itemsize),
         )(xt, stats, scale.reshape(1, 1, c), bias.reshape(1, 1, c))
+    elif emit_amax:
+        rt = jnp.swapaxes(residual, 0, 1)       # bitcast too
+        yt, amax = pl.pallas_call(
+            functools.partial(_apply_res_amax_kernel_tbc, gelu=gelu),
+            grid=(nt,),
+            in_specs=[tile_spec, tile_spec] + small_specs,
+            out_specs=(tile_spec,
+                       pl.BlockSpec((1, b, c), lambda j: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((t_len, b, c), x.dtype),
+                       jax.ShapeDtypeStruct((1, b, c), jnp.float32)),
+            interpret=_interpret(),
+            input_output_aliases={0: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=12 * t_len * b * c, transcendentals=t_len * b * c,
+                bytes_accessed=3 * t_len * b * c * x.dtype.itemsize),
+        )(xt, rt, stats, scale.reshape(1, 1, c), bias.reshape(1, 1, c))
+        return jnp.swapaxes(yt, 0, 1), jnp.max(amax[0], axis=0)   # (C,)
     else:
         rt = jnp.swapaxes(residual, 0, 1)       # bitcast too
         yt = pl.pallas_call(

@@ -70,7 +70,7 @@ def main():
     p.add_argument("--model-config", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--turbo", action="store_true",
-                   help="int8 turbo decode (AA_TURBO_INT8=1): ~20%% faster "
+                   help="int8 turbo decode (AA_TURBO_INT8=1): ~33%% faster "
                         "diffusion at ~2%% output RMS difference")
     args = p.parse_args()
     if getattr(args, "turbo", False):

@@ -337,7 +337,7 @@ def main():
     p.add_argument("--html-info-file", type=str, default="mirage.html",
                    help="where --share writes the redirect page (reference :653)")
     p.add_argument("--turbo", action="store_true",
-                   help="int8 turbo decode (AA_TURBO_INT8=1): ~20%% faster "
+                   help="int8 turbo decode (AA_TURBO_INT8=1): ~33%% faster "
                         "diffusion at ~2%% output RMS difference")
     args = p.parse_args()
     if getattr(args, "turbo", False):

@@ -91,6 +91,46 @@ class TestTurboInt8:
         # quantisation noise must be present (path engaged) and small
         assert 1e-5 < rel < 0.05, rel
 
+    def test_emit_amax_matches_true_amax(self):
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 256)) * 1.7
+        res = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 256)) * 3.0
+        scale = jnp.linspace(0.5, 1.5, 256)
+        bias = jnp.linspace(-0.2, 0.2, 256)
+        out, amax = groupnorm1_gelu_btc(x, scale, bias, residual=res,
+                                        emit_amax=True)
+        ref = groupnorm1_gelu_btc(x, scale, bias, residual=res)
+        assert float(jnp.abs(out - ref).max()) < 1e-6
+        true_amax = jnp.max(jnp.abs(ref), axis=(0, 1))
+        assert float(jnp.abs(amax - true_amax).max()) < 1e-5
+
+    def test_amax_threading_through_level(self, monkeypatch):
+        """conv1-int8: blocks 2..3 of a level consume the previous block's
+        emitted amax; the whole level must stay within the turbo error band
+        and produce no new param leaves."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.models.unet1d import _Level
+        from audio_algebra_tpu.utils.params import fast_random_params
+
+        lvl = _Level(256, 256, attn=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 256)) * 0.6
+        params = fast_random_params(lvl, 1, jnp.zeros((1, 8, 256)))
+        ref, a_ref = lvl.apply(params, x)
+        assert a_ref is None
+        monkeypatch.setenv("AA_TURBO_INT8", "1")
+        turbo, amax = lvl.apply(params, x)
+        assert amax is not None and amax.shape == (256,)
+        rel = float(jnp.sqrt(jnp.mean((turbo - ref) ** 2)
+                             / jnp.mean(ref ** 2)))
+        assert 1e-5 < rel < 0.05, rel
+        # the emitted bound must actually bound the output
+        true_amax = jnp.max(jnp.abs(turbo), axis=(0, 1))
+        assert bool(jnp.all(amax >= true_amax - 1e-4))
+
     def test_conv1d_int8_matches_float(self):
         import jax
         import jax.numpy as jnp
