@@ -81,6 +81,82 @@ def test_data_parallel_step_matches_single_device():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_manual_shard_map_step_matches_annotated():
+    """The explicit-collectives variant (shard_map + lax.pmean, used by
+    train_aa_mixer_accel.py) must produce the same update as the
+    sharding-annotated step for a per-example-decomposable loss — the DDP
+    equivalence class. (Batch-coupled losses like the mixer's VICReg terms
+    legitimately differ: manual = local-shard statistics, exactly like
+    torch DDP per-GPU; annotated = global-batch statistics.)"""
+    from audio_algebra_tpu.parallel.manual import make_manual_ddp_step
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    w0 = {"w": rng.standard_normal((8, 4)).astype(np.float32),
+          "b": np.zeros((4,), np.float32)}
+    x = rng.standard_normal((16, 8)).astype(np.float32)
+    y = rng.standard_normal((16, 4)).astype(np.float32)
+
+    def loss_fn(p, xb, yb):
+        pred = xb @ p["w"] + p["b"]
+        loss = jnp.mean((pred - yb) ** 2)
+        return loss, {"train_loss": loss}
+
+    opt = optax.sgd(1e-1)
+    annotated = make_data_parallel_step(loss_fn, opt, mesh)
+    manual = make_manual_ddp_step(loss_fn, opt, mesh)
+
+    p_a, _, logs_a = annotated(replicate_state(w0, mesh),
+                               replicate_state(opt.init(w0), mesh), x, y)
+    p_m, _, logs_m = manual(replicate_state(w0, mesh),
+                            replicate_state(opt.init(w0), mesh), x, y)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(logs_a["train_loss"]),
+                               float(logs_m["train_loss"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_manual_shard_map_step_mixer_loss_runs():
+    """Manual DDP over the real mixer loss: runs, logs finite, loss drops
+    over a few steps (local-shard VICReg semantics — the reference's DDP
+    behavior, reference train_aa_mixer_accel.py:463-553)."""
+    from audio_algebra_tpu.parallel.manual import make_manual_ddp_step
+
+    mesh = make_mesh()
+
+    class LinearEnc:
+        def encode(self, x):
+            return x[..., ::32]
+
+    aa = AABundle(dims=2, hidden_dims=4)
+    loss_fn = make_mixer_loss_fn(aa.module, LinearEnc().encode)
+    opt = optax.adam(1e-3)
+
+    rng = np.random.default_rng(0)
+    stems = rng.standard_normal((2, 16, 2, 256)).astype(np.float32)
+    faders = np.asarray([1.0, -1.0], np.float32)
+    stems_b = np.swapaxes(stems, 0, 1)
+    wrapped = lambda p, sb, b: loss_fn(p, jnp.swapaxes(sb, 0, 1),
+                                       jnp.asarray(faders), b)
+
+    manual = make_manual_ddp_step(wrapped, opt, mesh)
+    params = replicate_state(jax.device_get(aa.params), mesh)
+    opt_state = replicate_state(
+        jax.device_get(opt.init(aa.params)), mesh)
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, logs = manual(params, opt_state,
+                                         stems_b, stems[0])
+        losses.append(float(logs["train_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
 def test_grad_accumulation_multisteps():
     mesh = make_mesh()
     params = {"w": jnp.ones((4,))}

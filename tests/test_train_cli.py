@@ -62,6 +62,25 @@ def test_train_mixer_cli_and_resume(train_env):
     assert "Resumed from" in r2.stdout, r2.stdout[-800:]
 
 
+def test_train_mixer_accel_cli_and_resume(train_env, tmp_path):
+    """The manual-collectives trainer (reference train_aa_mixer_accel.py's
+    Accelerate loop, rebuilt on shard_map + explicit pmean) must run,
+    checkpoint, and resume just like the annotated-step trainer."""
+    root, ini = train_env
+    r = _run("train_aa_mixer_accel.py", ini, tmp_path)
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert "training done." in r.stdout
+    runs = list((tmp_path / "runs").rglob("step_*"))
+    assert runs, "no checkpoint saved"
+    ckpt_dir = sorted(runs)[-1].parent
+    r2 = _run("train_aa_mixer_accel.py", ini, tmp_path,
+              extra=["--ckpt_path", str(ckpt_dir)])
+    assert r2.returncode == 0, r2.stderr[-1200:]
+    assert "Resumed from" in r2.stdout, r2.stdout[-800:]
+    logs = list((tmp_path / "runs").rglob("log.jsonl"))
+    assert logs and any("train_loss" in json.loads(l) for l in open(logs[0]))
+
+
 def test_train_clapdae_cli_and_resume(train_env, tmp_path):
     """The MIRAGE generator training path (reference
     StackedAELatentDiffusionCond.py:319-394): v-objective + CFG dropout +
