@@ -56,6 +56,21 @@ def conv1d_mm(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
         return sl
 
     if c_in < 128:
+        if t * b * k * c_in > 33_554_432:
+            # huge-T small-channel convs (the UNet entry conv: 82ch at
+            # 65536 samples): the tap-concat below would materialise a
+            # K×-wide tensor + a full layout copy (traced at ~10 ms/fwd).
+            # Zero-pad channels to the 128-lane width and take the native
+            # conv op — the pad is 2 cheap passes and the conv runs at
+            # full MXU tiling (the minute-scale conv compiles only bit at
+            # dilated sub-128 shapes, not at a 128-lane contraction).
+            xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 128 - c_in)))
+            kpad = jnp.pad(kernel, ((0, 0), (0, 128 - c_in), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                xpad, kpad, window_strides=(stride,), padding="SAME",
+                rhs_dilation=(dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"))
+            return y + bias.astype(x.dtype) if bias is not None else y
         # small-channel convs: ONE matmul with contraction K*Cin (the XLA
         # conv op at these shapes hit minute-scale compiles on axon)
         stacked = jnp.concatenate([tap(i) for i in range(k)], axis=-1)
@@ -140,18 +155,34 @@ class Conv1d(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_scale=None, out_dtype=None):
-        c_in = x.shape[-1]
+        """`x` may be a tuple of channel-parts (the split skip-join: the
+        up-path consumer reads its two inputs directly instead of through a
+        materialised concat — conv(cat(a,b), W) == conv(a, W[:, :Ca]) +
+        conv(b, W[:, Ca:]), and the kernel param keeps the concat shape so
+        checkpoints are unaffected). x_scale follows the same structure."""
+        parts = x if isinstance(x, tuple) else (x,)
+        scales = x_scale if isinstance(x_scale, tuple) else (x_scale,)
+        c_in = sum(p.shape[-1] for p in parts)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2),
             (self.kernel_size, c_in, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
-        if x.dtype == jnp.int8:
-            assert x_scale is not None and self.stride == 1 \
-                and self.dilation == 1
-            return conv1d_int8(x, x_scale, kernel, bias,
-                               out_dtype or jnp.bfloat16)
-        return conv1d_mm(x, kernel.astype(x.dtype), bias, self.stride, self.dilation)
+        y, ofs = None, 0
+        for i, p in enumerate(parts):
+            kp = jax.lax.slice_in_dim(kernel, ofs, ofs + p.shape[-1], axis=1)
+            ofs += p.shape[-1]
+            b_i = bias if i == 0 else None     # bias added once
+            if p.dtype == jnp.int8:
+                assert scales[i] is not None and self.stride == 1 \
+                    and self.dilation == 1
+                yp = conv1d_int8(p, scales[i], kp, b_i,
+                                 out_dtype or jnp.bfloat16)
+            else:
+                yp = conv1d_mm(p, kp.astype(p.dtype), b_i, self.stride,
+                               self.dilation)
+            y = yp if y is None else y + yp
+        return y
 
 
 class FourierFeatures(nn.Module):
@@ -240,6 +271,26 @@ class GroupNorm1(nn.Module):
         return out
 
 
+class SplitLinear(nn.Module):
+    """nn.Dense over a tuple of channel-parts without materialising their
+    concat: cat(parts) @ W == Σ parts_i @ W[ofs_i:ofs_i+C_i]. Param tree is
+    identical to nn.Dense(use_bias=False) so checkpoints are unaffected."""
+    features: int
+
+    @nn.compact
+    def __call__(self, parts):
+        c_in = sum(p.shape[-1] for p in parts)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (c_in, self.features))
+        y, ofs = None, 0
+        for p in parts:
+            kp = jax.lax.slice_in_dim(kernel, ofs, ofs + p.shape[-1], axis=0)
+            ofs += p.shape[-1]
+            yp = jnp.matmul(p, kp.astype(p.dtype))
+            y = yp if y is None else y + yp
+        return y
+
+
 class ResConvBlock(nn.Module):
     """conv5-GN-GELU-conv5-GN-GELU with 1x1-projected residual.
 
@@ -257,20 +308,34 @@ class ResConvBlock(nn.Module):
         the previous block's emit_amax) — when present, conv1 also runs on
         the int8 MXU. With `emit_amax`, returns (out, amax) where amax
         bounds |out| per channel (None for is_last blocks, which have no
-        final GN pass to compute it in)."""
+        final GN pass to compute it in).
+
+        `x` may be a tuple of channel-parts (split skip-join, see Conv1d):
+        conv1 and skip_proj read the parts directly, never materialising
+        the concat; `x_amax` is then a matching tuple (or None)."""
         from ..ops.pallas import groupnorm as pgn
-        c_in = x.shape[-1]
-        turbo = turbo_int8() and x.dtype in (jnp.bfloat16, jnp.float32) \
-            and pgn.supported(x.shape, x.dtype)
-        skip = x if c_in == self.c_out else nn.Dense(self.c_out, use_bias=False,
-                                                     name="skip_proj")(x)
-        if turbo and x_amax is not None and c_in % 128 == 0:
+        pair = isinstance(x, tuple)
+        parts = x if pair else (x,)
+        c_in = sum(p.shape[-1] for p in parts)
+        p0 = parts[0]
+        turbo = turbo_int8() and p0.dtype in (jnp.bfloat16, jnp.float32) \
+            and pgn.supported((p0.shape[0], p0.shape[1], c_in), p0.dtype)
+        if pair:
+            skip = SplitLinear(self.c_out, name="skip_proj")(parts)
+        else:
+            skip = x if c_in == self.c_out else nn.Dense(
+                self.c_out, use_bias=False, name="skip_proj")(x)
+        amaxes = x_amax if isinstance(x_amax, tuple) else (x_amax,)
+        if turbo and all(a is not None for a in amaxes) \
+                and all(p.shape[-1] % 128 == 0 for p in parts):
             # conv1 on the int8 MXU: the dynamic amax from the previous
             # block's GN pass gives an exact per-channel grid for the
             # residual stream (which has no analytic bound)
-            x8, s_x = quantize_act(x, x_amax)
+            q = [quantize_act(p, a) for p, a in zip(parts, amaxes)]
+            x8 = tuple(v[0] for v in q) if pair else q[0][0]
+            s_x = tuple(v[1] for v in q) if pair else q[0][1]
             h = Conv1d(self.c_mid, 5, name="Conv1d_0")(x8, x_scale=s_x,
-                                                       out_dtype=x.dtype)
+                                                       out_dtype=p0.dtype)
         else:
             h = Conv1d(self.c_mid, 5, name="Conv1d_0")(x)
         # turbo int8 (opt-in): GN_0 emits int8, conv2 runs on the int8 MXU
@@ -278,7 +343,7 @@ class ResConvBlock(nn.Module):
             h8, s_h = GroupNorm1(fuse_gelu=True, name="GroupNorm_0")(
                 h, quantize=True)
             h = Conv1d(self.c_out, 5, name="Conv1d_1")(h8, x_scale=s_h,
-                                                       out_dtype=x.dtype)
+                                                       out_dtype=p0.dtype)
         else:
             h = GroupNorm1(fuse_gelu=True, name="GroupNorm_0")(h)
             h = Conv1d(self.c_out, 5, name="Conv1d_1")(h)

@@ -93,6 +93,161 @@ def _apply_res_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
     o_ref[...] = (res_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
+def _fused_gn_kernel_tbc(*refs, nt: int, n: int, eps: float, gelu: bool,
+                         has_res: bool, emit_amax: bool, quant: bool):
+    """Single-launch two-phase GN: grid = (2, nt) — phase 0 walks the tiles
+    accumulating (sum, sumsq) partials into a persistent VMEM scratch (the
+    last step converts them to (mu, rstd) in place); phase 1 walks them
+    again normalising (+GELU) (+residual add / int8 quantise / amax emit).
+    One launch instead of the stats/apply pair, and the XLA glue between
+    them (partial reduce + rsqrt fusion) folds in. The TPU grid is
+    sequential, so the scratch carries across phases (same mechanism the
+    amax accumulator already uses). Index maps must stay affine — scalar-
+    prefetch and jnp.where index maps each cost minutes of Mosaic compile
+    per kernel on this toolchain (measured) — so the stats phase re-reads
+    every tile; that full-rate stats read is why this variant is dispatched
+    only below a size threshold where launch overhead dominates traffic."""
+    k = 0
+    x_ref = refs[k]; k += 1
+    res_ref = None
+    if has_res:
+        res_ref = refs[k]; k += 1
+    scale_ref, bias_ref = refs[k], refs[k + 1]; k += 2
+    qinv_ref = None
+    if quant:
+        qinv_ref = refs[k]; k += 1
+    o_ref = refs[k]; k += 1
+    amax_ref = None
+    if emit_amax:
+        amax_ref = refs[k]; k += 1
+    scr_ref = refs[k]
+
+    phase = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(phase == 0)
+    def _stats():
+        x = x_ref[...].astype(jnp.float32)
+        part = jnp.pad(jnp.stack([jnp.sum(x, axis=(0, 2)),
+                                  jnp.sum(jnp.square(x), axis=(0, 2))],
+                                 axis=-1), ((0, 0), (0, 126)))
+
+        @pl.when(j == 0)
+        def _init():
+            scr_ref[...] = part
+
+        @pl.when(j > 0)
+        def _acc():
+            scr_ref[...] = scr_ref[...] + part
+
+        @pl.when(j == nt - 1)
+        def _finalize():
+            s = scr_ref[...]
+            mu = s[:, 0] / n
+            var = jnp.maximum(s[:, 1] / n - jnp.square(mu), 0.0)
+            rstd = jax.lax.rsqrt(var + eps)
+            scr_ref[...] = jnp.pad(jnp.stack([mu, rstd], axis=-1),
+                                   ((0, 0), (0, 126)))
+
+    @pl.when(phase == 1)
+    def _apply():
+        x = x_ref[...].astype(jnp.float32)
+        s = scr_ref[...]
+        mu = s[:, 0][None, :, None]
+        rstd = s[:, 1][None, :, None]
+        y = (x - mu) * rstd
+        y = y * scale_ref[0, 0, :].astype(jnp.float32)[None, None, :] \
+            + bias_ref[0, 0, :].astype(jnp.float32)[None, None, :]
+        if gelu:
+            y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654
+                                          * (y + 0.044715 * y * y * y)))
+        if quant:
+            qinv = qinv_ref[0, 0, :].astype(jnp.float32)[None, None, :]
+            o_ref[...] = jnp.clip(jnp.round(y * qinv), -127, 127
+                                  ).astype(jnp.int8)
+        elif res_ref is not None:
+            out = res_ref[...].astype(jnp.float32) + y
+            o_ref[...] = out.astype(o_ref.dtype)
+            if amax_ref is not None:
+                ta = jnp.max(jnp.abs(out), axis=0, keepdims=True)
+
+                @pl.when(j == 0)
+                def _ai():
+                    amax_ref[...] = ta
+
+                @pl.when(j > 0)
+                def _aa():
+                    amax_ref[...] = jnp.maximum(amax_ref[...], ta)
+        else:
+            o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _single_launch(xt, scale, bias, residual, quant_scale, *, gelu, eps,
+                   tile, nt, emit_amax):
+    """Assemble the one-launch two-phase pallas_call on the (T, B, C) view.
+
+    Grid (2, nt) with phase-independent AFFINE index maps — every operand
+    block cycles through both phases (extra prefetch/flush traffic), which
+    is why the dispatcher only routes small tensors here. Outputs are NOT
+    aliased onto x: phase 1 re-reads x tile j while out tile j-1 flushes,
+    and any eager flush of the untouched out buffer during phase 0 must
+    not clobber x."""
+    t_len, b, c = xt.shape
+    has_res = residual is not None
+    quant = quant_scale is not None
+    n = t_len * c
+
+    tile_spec = pl.BlockSpec((tile, b, c), lambda p, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    const_c = pl.BlockSpec((1, 1, c), lambda p, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    in_specs = [tile_spec]
+    operands = [xt]
+    if has_res:
+        in_specs.append(tile_spec)
+        operands.append(jnp.swapaxes(residual, 0, 1))      # bitcast
+    in_specs += [const_c, const_c]
+    operands += [scale.reshape(1, 1, c), bias.reshape(1, 1, c)]
+    if quant:
+        qinv = (1.0 / jnp.maximum(quant_scale.astype(jnp.float32), 1e-12))
+        qinv = jnp.broadcast_to(qinv, (c,)).reshape(1, 1, c)
+        in_specs.append(const_c)
+        operands.append(qinv)
+
+    out_dtype = jnp.int8 if quant else xt.dtype
+    out_shape = [jax.ShapeDtypeStruct((t_len, b, c), out_dtype)]
+    out_specs = [tile_spec]
+    if emit_amax:
+        out_shape.append(jax.ShapeDtypeStruct((1, b, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, b, c), lambda p, j: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_fused_gn_kernel_tbc, nt=nt, n=n, eps=eps,
+                               gelu=gelu, has_res=has_res,
+                               emit_amax=emit_amax, quant=quant)
+    passes = 2.0 + (1.0 if has_res else 0.0)
+    wr = 0.25 if quant else 1.0
+    res = pl.pallas_call(
+        kernel,
+        grid=(2, nt),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
+        out_shape=out_shape[0] if len(out_shape) == 1 else tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((b, 128), jnp.float32)],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=int((12 if has_res else 10) * t_len * b * c),
+            transcendentals=t_len * b * c if gelu else 0,
+            bytes_accessed=int((passes + wr) * t_len * b * c
+                               * xt.dtype.itemsize)),
+    )(*operands)
+    if emit_amax:
+        yt, amax = res
+        return jnp.swapaxes(yt, 0, 1), jnp.max(amax[0], axis=0)
+    return jnp.swapaxes(res, 0, 1)
+
+
 def _apply_res_amax_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
                                o_ref, amax_ref, *, gelu: bool):
     """apply + residual add + free per-channel amax of the OUTPUT (turbo:
@@ -116,8 +271,16 @@ def _apply_res_amax_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
         amax_ref[...] = jnp.maximum(amax_ref[...], tile_amax)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("gelu", "eps", "stats_stride", "emit_amax"))
+# Per-grid-step tile cap (elements). 512 KiB bf16 tiles double-buffer
+# comfortably in VMEM (the 16 MiB scoped-vmem limit OOMs at 1M-elem tiles
+# in the 3-operand residual variant); swept in-context via AA_GN_TILE by
+# tools/profile_unet_turbo.py — standalone microbenches are invalid here
+# because outside a conv-layout context the (T,B,C) view is a real
+# transpose, not a bitcast.
+import os as _os
+MAX_TILE_ELEMS = int(_os.environ.get("AA_GN_TILE", 262_144))
+
+
 def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                         bias: jnp.ndarray, gelu: bool = True,
                         eps: float = 1e-6,
@@ -142,12 +305,20 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
     b, t_len, c = x.shape
     xt = jnp.swapaxes(x, 0, 1)                  # (T, B, C) — bitcast
     tile = t_len
-    max_elems = 262_144
+    max_elems = MAX_TILE_ELEMS
     while tile * b * c > max_elems and tile % 2 == 0:
         tile //= 2
     nt = t_len // tile
     stride = stats_stride if stats_stride > 1 and nt >= 4 * stats_stride else 1
     nst = nt // stride
+
+    # Small tensors: one two-phase launch (launch overhead dominates their
+    # traffic); big tensors keep the strided stats + apply pair (the 1/4-
+    # rate stats read is worth more than a launch there).
+    if t_len * b * c <= int(_os.environ.get("AA_GN_FUSE_MAX", 8_388_608)):
+        return _single_launch(xt, scale, bias, residual, quant_scale,
+                              gelu=gelu, eps=eps, tile=tile, nt=nt,
+                              emit_amax=emit_amax)
 
     partials = pl.pallas_call(
         _stats_kernel_tbc,

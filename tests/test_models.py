@@ -61,6 +61,37 @@ def test_diffusion_attn_unet1d():
     assert np.isfinite(np.asarray(v)).all()
 
 
+def test_split_skip_join_matches_concat():
+    """The up-path split skip-join (Conv1d/SplitLinear over channel-parts,
+    blocks.py) must be numerically identical to materialising the concat:
+    conv(cat(a,b), W) == conv(a, W[:, :Ca]) + conv(b, W[:, Ca:])."""
+    from audio_algebra_tpu.models.blocks import Conv1d, SplitLinear, ResConvBlock
+
+    rng = jax.random.PRNGKey(3)
+    a = jax.random.normal(rng, (2, 64, 16))
+    b = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 24))
+    cat = jnp.concatenate([a, b], axis=-1)
+
+    conv = Conv1d(8, 5)
+    p = conv.init(KEY, cat)
+    np.testing.assert_allclose(np.asarray(conv.apply(p, (a, b))),
+                               np.asarray(conv.apply(p, cat)),
+                               rtol=1e-5, atol=1e-5)
+
+    lin = SplitLinear(8)
+    pl_ = lin.init(KEY, (a, b))
+    dense = cat @ pl_["params"]["kernel"]
+    np.testing.assert_allclose(np.asarray(lin.apply(pl_, (a, b))),
+                               np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+    # whole block: pair input == concat input (params shared by shape)
+    blk = ResConvBlock(16, 16)
+    pb = blk.init(KEY, cat)
+    np.testing.assert_allclose(np.asarray(blk.apply(pb, (a, b))),
+                               np.asarray(blk.apply(pb, cat)),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_diffusion_unet_uncond():
     net = DiffusionAttnUnet1D(io_channels=4, cond_dim=0, n_attn_layers=0,
