@@ -55,6 +55,21 @@ def _stats_kernel_tbc(x_ref, out_ref):
         jnp.stack([s1, s2], axis=-1), ((0, 0), (0, 126)))
 
 
+def _gelu(y):
+    """Exact tanh-GELU. NEGATIVE RESULT, kept as a warning: the apply
+    kernels spend ~13 ms/forward here (AA_GN_NOGELU=1 timing probe,
+    236 -> 223 ms turbo), but replacing jnp.tanh with a Padé(5,4)
+    rational made the forward 66 ms SLOWER (measured 244 -> 310, both
+    the divide and an rsqrt-squared reciprocal) — Mosaic lowers jnp.tanh
+    to the native transcendental unit, and a handful of generic VPU
+    mul/add/select ops costs far more than one native tanh. Don't
+    'optimise' this with polynomial approximations."""
+    if _os.environ.get("AA_GN_NOGELU") == "1":   # timing probe only
+        return y
+    return 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654
+                                     * (y + 0.044715 * y * y * y)))
+
+
 def _gn_core(x_ref, stats_ref, scale_ref, bias_ref, gelu: bool):
     x = x_ref[...].astype(jnp.float32)          # (tile, B, C)
     mu = stats_ref[0, :, 0][None, :, None]
@@ -63,8 +78,7 @@ def _gn_core(x_ref, stats_ref, scale_ref, bias_ref, gelu: bool):
     y = y * scale_ref[0, 0, :].astype(jnp.float32)[None, None, :] \
         + bias_ref[0, 0, :].astype(jnp.float32)[None, None, :]
     if gelu:
-        y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654
-                                      * (y + 0.044715 * y * y * y)))
+        y = _gelu(y)
     return y
 
 
@@ -159,8 +173,7 @@ def _fused_gn_kernel_tbc(*refs, nt: int, n: int, eps: float, gelu: bool,
         y = y * scale_ref[0, 0, :].astype(jnp.float32)[None, None, :] \
             + bias_ref[0, 0, :].astype(jnp.float32)[None, None, :]
         if gelu:
-            y = 0.5 * y * (1.0 + jnp.tanh(0.7978845608028654
-                                          * (y + 0.044715 * y * y * y)))
+            y = _gelu(y)
         if quant:
             qinv = qinv_ref[0, 0, :].astype(jnp.float32)[None, None, :]
             o_ref[...] = jnp.clip(jnp.round(y * qinv), -127, 127

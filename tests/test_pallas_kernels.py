@@ -50,8 +50,8 @@ class TestGroupNormFused:
                               jnp.float32) * 2.0 + 0.3
         scale = jnp.linspace(0.5, 1.5, 256)
         bias = jnp.linspace(-0.2, 0.2, 256)
-        y = groupnorm1_gelu_btc(x, scale, bias, gelu=gelu)
         ref = self._ref(x, scale, bias, gelu)
+        y = groupnorm1_gelu_btc(x, scale, bias, gelu=gelu)
         assert float(jnp.abs(y - ref).max()) < 1e-5
 
     def test_module_dispatch_and_fallback(self):
@@ -61,14 +61,14 @@ class TestGroupNormFused:
 
         # aligned shape -> pallas path; tiny channels -> jnp fallback.
         # both must agree with flax.
-        for shape in ((2, 256, 128), (2, 100, 24)):
+        for shape, tol in (((2, 256, 128), 1e-5), ((2, 100, 24), 1e-5)):
             x = jax.random.normal(jax.random.PRNGKey(1), shape) + 0.1
             m = GroupNorm1(fuse_gelu=True)
             params = m.init(jax.random.PRNGKey(0), x)
             y = m.apply(params, x)
             ref = self._ref(x, params["params"]["scale"],
                             params["params"]["bias"], gelu=True)
-            assert float(jnp.abs(y - ref).max()) < 1e-5, shape
+            assert float(jnp.abs(y - ref).max()) < tol, shape
 
 
 class TestTurboInt8:
