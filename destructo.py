@@ -72,6 +72,12 @@ def main():
     p.add_argument("--turbo", action="store_true",
                    help="int8 turbo decode (AA_TURBO_INT8=1): ~33%% faster "
                         "diffusion at ~2%% output RMS difference")
+    p.add_argument("--num-devices", type=int, default=1,
+                   help="shard the chunk batch over this many devices for "
+                        "encode+decode (0 = all local devices). The TPU "
+                        "replacement for the reference's 8-GPU "
+                        "multiprocessing.Pool decode sweep "
+                        "(xae_dataset.ipynb cells 66-67)")
     args = p.parse_args()
     if getattr(args, "turbo", False):
         os.environ["AA_TURBO_INT8"] = "1"   # read at model trace time
@@ -93,8 +99,28 @@ def main():
     batch = batch_it_crazy(audio, args.chunk_size, max_batch_size=args.max_batch)
     print(f"chunked: {batch.shape}")
 
+    # multi-device: shard the chunk batch over a data mesh — the jitted
+    # encode/decode propagate the sharding SPMD-style (batch-parallel, no
+    # collectives), so N chips decode N-fold faster
+    import jax
+    n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
+    n_dev = min(n_dev, len(jax.devices()))
+    pad = 0
+    place = jnp.asarray
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from audio_algebra_tpu.parallel import make_mesh
+        mesh = make_mesh(n_devices=n_dev)
+        shard = NamedSharding(mesh, P("data"))
+        pad = (-len(batch)) % n_dev
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
+        place = lambda a: jax.device_put(jnp.asarray(a), shard)
+        print(f"sharded over {n_dev} devices (pad {pad})")
+
     t0 = time.time()
-    z = w.encode(jnp.asarray(batch))
+    z = w.encode(place(batch))
     print(f"encoded {tuple(z.shape)} in {time.time()-t0:.1f}s")
 
     if args.effect_dry and args.effect_wet:
@@ -115,7 +141,9 @@ def main():
     out = w.decode(z, demo_steps=args.steps)
     out = np.asarray(out)
     dt = time.time() - t0
-    audio_sec = batch.shape[0] * args.chunk_size / 48000
+    if pad:      # drop the zero-chunks added for even sharding
+        out = out[..., : (batch.shape[0] - pad) * args.chunk_size]
+    audio_sec = (batch.shape[0] - pad) * args.chunk_size / 48000
     print(f"decoded {args.steps} steps in {dt:.1f}s "
           f"({audio_sec/dt:.1f}x realtime)")
     save_audio(args.out, np.clip(out, -1, 1), 48000)

@@ -138,6 +138,32 @@ def test_xae_dataset_e2e(script_corpus):
 
 
 @pytest.mark.slow
+def test_destructo_multidevice_e2e(script_corpus):
+    """destructo.py --num-devices 8: the chunk batch shards over the
+    virtual mesh for encode AND diffusion decode (the TPU replacement for
+    the reference's 8-GPU Pool decode sweep, xae_dataset.ipynb cells
+    66-67); output audio must land with the un-padded length."""
+    root, corpus, mc = script_corpus
+    wav = str(next(corpus.glob("*.wav")))
+    out = root / "destructo_mesh.wav"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/destructo.py", wav,
+         "--op", "timereverse", "--steps", "2", "--chunk-size", "2048",
+         "--max-batch", "6", "--model-config", str(mc),
+         "--num-devices", "8", "--out", str(out)],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+                 XLA_FLAGS="--xla_force_host_platform_device_count=8"))
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert "sharded over 8 devices" in r.stdout, r.stdout[-600:]
+    assert out.exists()
+    from audio_algebra_tpu.utils.audio_io import load_audio
+    got = load_audio(str(out), sr=48000)
+    # padded zero-chunks must NOT appear in the output: 6 real chunks
+    assert got.shape[-1] == 6 * 2048, got.shape
+
+
+@pytest.mark.slow
 def test_effects_explorer_e2e(script_corpus):
     """effects_explorer.py end-to-end: knob-sweep embeddings, PCA cloud and
     effect geometry files (reference effects_explorer.ipynb cells 19-52)."""
