@@ -356,6 +356,16 @@ class DVAEWrapper(GivenModelClass):
                 self.next_key(), (reps.shape[0], 2, self.demo_samples))
 
         def decode_fn(p, n, r):
+            from .models.blocks import turbo_int8
+            if turbo_int8():
+                # amax-carry: the UNet quantises each intra-level hop on
+                # the PREVIOUS step's amax grid, so the sampler threads
+                # the aux tree through the scan (quantize_act passes gone)
+                model_fn = lambda x, t, aux, cond: self.model.apply(
+                    p, x, t, cond, q_aux=aux,
+                    method=DiffusionDVAE.decode_v_aux)
+                return vddim_sample(model_fn, n, demo_steps, 0, r,
+                                    aux_mode=True)
             model_fn = lambda x, t, cond: self.model.apply(
                 p, x, t, cond, method=DiffusionDVAE.decode_v)
             return vddim_sample(model_fn, n, demo_steps, 0, r)

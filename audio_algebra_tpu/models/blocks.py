@@ -9,7 +9,7 @@ convs lower to implicit GEMM and norms/activations fuse on the VPU.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,15 @@ def conv1d_mm(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
     if bias is not None:
         y = y + bias.astype(x.dtype)
     return y
+
+
+class Int8Act(NamedTuple):
+    """An int8-quantised activation riding alongside (or instead of) its
+    bf16 twin: `x8` int8 tensor + `scale` per-channel (C,) f32 grid.
+    Produced by the GN residual kernel's q-emit path (turbo amax-carry);
+    consumed directly by Conv1d's int8 path."""
+    x8: jnp.ndarray
+    scale: jnp.ndarray
 
 
 def turbo_int8() -> bool:
@@ -219,7 +228,7 @@ class GroupNorm1(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual=None, quantize: bool = False,
-                 emit_amax: bool = False):
+                 emit_amax: bool = False, q_emit_scale=None):
         """With `residual`, returns residual + [gelu](gn(x)) — the block's
         skip-add folded into the same kernel pass. With `quantize` (turbo
         int8), returns (int8 tensor, per-channel scales (C,)): post-norm
@@ -227,7 +236,11 @@ class GroupNorm1(nn.Module):
         sigmas), so the quantisation grid is analytic — no amax pass. With
         `emit_amax` (turbo, requires residual), returns (out, per-channel
         amax (C,)) — the bound for quantising the NEXT block's conv1 input,
-        accumulated for free inside the apply pass."""
+        accumulated for free inside the apply pass. With `q_emit_scale`
+        additionally (turbo amax-carry: the previous diffusion step's amax
+        of this output × margin, / 127), returns (out, amax,
+        Int8Act(out8, q_emit_scale)) — the int8 twin quantised inside the
+        same pass, replacing the next conv1's quantize_act."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -247,7 +260,11 @@ class GroupNorm1(nn.Module):
                                           quant_scale=q_scales,
                                           stats_stride=stride,
                                           emit_amax=emit_amax
-                                          and residual is not None)
+                                          and residual is not None,
+                                          q_emit_scale=q_emit_scale)
+            if q_emit_scale is not None:
+                o, amax, o8 = out
+                return o, amax, Int8Act(o8, q_emit_scale)
             if emit_amax:
                 return out if residual is not None else (out, None)
             return (out, q_scales) if quantize else out
@@ -264,6 +281,12 @@ class GroupNorm1(nn.Module):
             return y8, q_scales
         y = y.astype(x.dtype)
         out = y if residual is None else residual + y
+        if q_emit_scale is not None:
+            amax = jnp.max(jnp.abs(out.astype(jnp.float32)), axis=(0, 1))
+            o8 = jnp.clip(jnp.round(out.astype(jnp.float32)
+                                    / q_emit_scale), -127, 127
+                          ).astype(jnp.int8)
+            return out, amax, Int8Act(o8, q_emit_scale)
         if emit_amax:
             amax = (jnp.max(jnp.abs(out.astype(jnp.float32)), axis=(0, 1))
                     if residual is not None else None)
@@ -303,7 +326,8 @@ class ResConvBlock(nn.Module):
     is_last: bool = False
 
     @nn.compact
-    def __call__(self, x, x_amax=None, emit_amax: bool = False):
+    def __call__(self, x, x_amax=None, emit_amax: bool = False,
+                 x_q: Int8Act | None = None, q_emit_scale=None):
         """Turbo extras: `x_amax` (C_in,) is a per-channel |x| bound (from
         the previous block's emit_amax) — when present, conv1 also runs on
         the int8 MXU. With `emit_amax`, returns (out, amax) where amax
@@ -312,7 +336,13 @@ class ResConvBlock(nn.Module):
 
         `x` may be a tuple of channel-parts (split skip-join, see Conv1d):
         conv1 and skip_proj read the parts directly, never materialising
-        the concat; `x_amax` is then a matching tuple (or None)."""
+        the concat; `x_amax` is then a matching tuple (or None).
+
+        Amax-carry extras: `x_q` is the int8 twin of `x` emitted by the
+        PREVIOUS block's GN residual pass — conv1 consumes it directly (no
+        quantize_act read of the bf16 tensor). `q_emit_scale` (C_out,)
+        makes this block's GN_1 emit its own int8 twin on that grid;
+        the return becomes (out, amax, Int8Act)."""
         from ..ops.pallas import groupnorm as pgn
         pair = isinstance(x, tuple)
         parts = x if pair else (x,)
@@ -326,7 +356,12 @@ class ResConvBlock(nn.Module):
             skip = x if c_in == self.c_out else nn.Dense(
                 self.c_out, use_bias=False, name="skip_proj")(x)
         amaxes = x_amax if isinstance(x_amax, tuple) else (x_amax,)
-        if turbo and all(a is not None for a in amaxes) \
+        if turbo and x_q is not None and not pair:
+            # amax-carry: the previous GN pass already wrote the int8 twin
+            h = Conv1d(self.c_mid, 5, name="Conv1d_0")(x_q.x8,
+                                                       x_scale=x_q.scale,
+                                                       out_dtype=p0.dtype)
+        elif turbo and all(a is not None for a in amaxes) \
                 and all(p.shape[-1] % 128 == 0 for p in parts):
             # conv1 on the int8 MXU: the dynamic amax from the previous
             # block's GN pass gives an exact per-channel grid for the
@@ -351,6 +386,9 @@ class ResConvBlock(nn.Module):
             out = skip + h
             return (out, None) if emit_amax else out
         gn1 = GroupNorm1(fuse_gelu=True, name="GroupNorm_1")
+        if q_emit_scale is not None:
+            return gn1(h, residual=skip, emit_amax=True,
+                       q_emit_scale=q_emit_scale)
         if emit_amax:
             return gn1(h, residual=skip, emit_amax=True)
         return gn1(h, residual=skip)

@@ -82,6 +82,13 @@ class DiffusionDVAE(nn.Module):
         """One UNet forward: predicted velocity (the sampler's model_fn)."""
         return self.diffusion(x, t, cond)
 
+    def decode_v_aux(self, x: jnp.ndarray, t: jnp.ndarray, cond: jnp.ndarray,
+                     q_aux=None):
+        """decode_v in the turbo amax-carry contract: (v, q_aux_out) —
+        q_aux is the previous sampler step's per-site amax tree (None on
+        the unrolled first step); see DiffusionAttnUnet1D.__call__."""
+        return self.diffusion(x, t, cond, q_aux=q_aux, collect_q_aux=True)
+
     def __call__(self, audio: jnp.ndarray, t: jnp.ndarray):
         """Training-style forward: encode then predict v for noised audio at t.
         (Used for parameter init; the real train/demo paths drive encode_it /

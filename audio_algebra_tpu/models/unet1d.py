@@ -28,42 +28,69 @@ from .blocks import (
 )
 
 
+QUANT_CARRY_MARGIN = 1.25   # headroom over the previous step's amax; the
+                            # int8 clip absorbs the rare >25% one-step drift
+
+
 class _Level(nn.Module):
     """Three ResConvBlocks with optional interleaved self-attention.
 
-    Returns (x, amax): in turbo mode the per-channel |x| bound of the level
-    output rides along (free, from each block's GN residual-apply kernel)
-    so the next consumer's conv1 can run on the int8 MXU. Attention between
-    blocks invalidates the bound, so attn levels thread None."""
+    Returns (x, amax, q_amaxes): in turbo mode the per-channel |x| bound of
+    the level output rides along (free, from each block's GN residual-apply
+    kernel) so the next consumer's conv1 can run on the int8 MXU. Attention
+    between blocks invalidates the bound, so attn levels thread None.
+
+    Amax-carry (`q_in`, a pair of the PREVIOUS diffusion step's amaxes for
+    block1/block2 outputs): each intra-level GN residual pass then emits an
+    int8 twin on that grid and the next block's conv1 consumes it directly
+    — the separate quantize_act pass disappears. q_amaxes returns this
+    step's fresh (amax_b1, amax_b2) for the next step's grids."""
     c_mid: int
     c_out: int
     attn: bool
     is_last: bool = False
 
     @nn.compact
-    def __call__(self, x, x_amax=None):
+    def __call__(self, x, x_amax=None, q_in=None):
         turbo = turbo_int8()
         emit = turbo and not self.attn
-        x = ResConvBlock(self.c_mid, self.c_mid)(x, x_amax=x_amax,
-                                                 emit_amax=emit)
-        a = None
-        if emit:
-            x, a = x
+        carry = emit and q_in is not None
+
+        def q_scale(bound):
+            import jax.numpy as jnp
+            return (jnp.maximum(bound.astype(jnp.float32), 1e-6)
+                    * QUANT_CARRY_MARGIN / 127.0)
+
+        b1 = ResConvBlock(self.c_mid, self.c_mid)
+        if carry:
+            x, a1, xq = b1(x, x_amax=x_amax, q_emit_scale=q_scale(q_in[0]))
+        else:
+            x = b1(x, x_amax=x_amax, emit_amax=emit)
+            a1, xq = None, None
+            if emit:
+                x, a1 = x
         if self.attn:
             x = SelfAttention1d(max(1, self.c_mid // 32))(x)
-        x = ResConvBlock(self.c_mid, self.c_mid)(x, x_amax=a, emit_amax=emit)
-        if emit:
-            x, a = x
+        b2 = ResConvBlock(self.c_mid, self.c_mid)
+        if carry:
+            x, a2, xq = b2(x, x_amax=a1, x_q=xq,
+                           q_emit_scale=q_scale(q_in[1]))
+        else:
+            x = b2(x, x_amax=a1, emit_amax=emit)
+            a2 = None
+            if emit:
+                x, a2 = x
         if self.attn:
             x = SelfAttention1d(max(1, self.c_mid // 32))(x)
         x = ResConvBlock(self.c_mid, self.c_out,
-                         is_last=self.is_last)(x, x_amax=a, emit_amax=emit)
+                         is_last=self.is_last)(x, x_amax=a2, x_q=xq,
+                                               emit_amax=emit)
         a = None
         if emit:
             x, a = x
         if self.attn and not self.is_last:
             x = SelfAttention1d(max(1, self.c_out // 32))(x)
-        return x, a
+        return x, a, ((a1, a2) if emit else None)
 
 
 class DiffusionAttnUnet1D(nn.Module):
@@ -76,8 +103,16 @@ class DiffusionAttnUnet1D(nn.Module):
     timestep_features: int = 16
 
     @nn.compact
-    def __call__(self, x, t, cond=None):
-        """x (B, io_channels, T), t (B,), cond (B, cond_dim, n) -> v (B, io_channels, T)."""
+    def __call__(self, x, t, cond=None, q_aux=None,
+                 collect_q_aux: bool = False):
+        """x (B, io_channels, T), t (B,), cond (B, cond_dim, n) -> v (B, io_channels, T).
+
+        Amax-carry (turbo): `q_aux` is the tuple of per-level intra-block
+        amaxes this same UNet returned on the PREVIOUS diffusion step
+        (`collect_q_aux=True` makes the return (v, q_aux_out)); with it,
+        every intra-level GN residual pass emits an int8 twin for the next
+        conv1, deleting the separate quantize_act passes (14.9 ms/forward
+        traced at B=16). The v-DDIM scan carries the tuple between steps."""
         depth = self.depth or len(self.c_mults)
         c_mults = list(self.c_mults)[:depth]
         n_io = self.io_channels * self.pqmf_bands
@@ -97,16 +132,27 @@ class DiffusionAttnUnet1D(nn.Module):
         # [1,3,3,1] resample taps are non-negative and sum to 1 (convex
         # combinations per channel), so the bound survives Downsample1d /
         # Upsample1d unchanged; skip concat concatenates the bounds.
+        lvl_idx = 0
+        q_out = []
+
+        def q_in():
+            return None if q_aux is None else q_aux[lvl_idx]
+
         skips = []
         a = None
         for i in range(depth - 1):
-            h, a = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(
-                h, x_amax=a)
+            h, a, q = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(
+                h, x_amax=a, q_in=q_in())
+            q_out.append(q)
+            lvl_idx += 1
             skips.append((h, a))
             h = Downsample1d()(h)
 
-        h, a = _Level(c_mults[depth - 1], c_mults[depth - 1],
-                      attn=depth - 1 >= attn_start)(h, x_amax=a)
+        h, a, q = _Level(c_mults[depth - 1], c_mults[depth - 1],
+                         attn=depth - 1 >= attn_start)(h, x_amax=a,
+                                                       q_in=q_in())
+        q_out.append(q)
+        lvl_idx += 1
 
         for i in reversed(range(depth - 1)):
             h = Upsample1d()(h)
@@ -118,8 +164,13 @@ class DiffusionAttnUnet1D(nn.Module):
             # concatenate traffic at B=16)
             a_pair = (a, a_skip) \
                 if a is not None and a_skip is not None else None
-            h, a = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(
-                (h, h_skip), x_amax=a_pair)
+            h, a, q = _Level(c_mults[i], c_mults[i], attn=i >= attn_start)(
+                (h, h_skip), x_amax=a_pair, q_in=q_in())
+            q_out.append(q)
+            lvl_idx += 1
 
         out = ResConvBlock(c_mults[0], n_io, is_last=True)(h, x_amax=a)
-        return jnp.swapaxes(out, -1, -2)
+        out = jnp.swapaxes(out, -1, -2)
+        if collect_q_aux:
+            return out, tuple(q_out)
+        return out

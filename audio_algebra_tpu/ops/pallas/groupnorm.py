@@ -108,7 +108,8 @@ def _apply_res_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
 
 
 def _fused_gn_kernel_tbc(*refs, nt: int, n: int, eps: float, gelu: bool,
-                         has_res: bool, emit_amax: bool, quant: bool):
+                         has_res: bool, emit_amax: bool, quant: bool,
+                         q_emit: bool = False):
     """Single-launch two-phase GN: grid = (2, nt) — phase 0 walks the tiles
     accumulating (sum, sumsq) partials into a persistent VMEM scratch (the
     last step converts them to (mu, rstd) in place); phase 1 walks them
@@ -128,12 +129,15 @@ def _fused_gn_kernel_tbc(*refs, nt: int, n: int, eps: float, gelu: bool,
         res_ref = refs[k]; k += 1
     scale_ref, bias_ref = refs[k], refs[k + 1]; k += 2
     qinv_ref = None
-    if quant:
+    if quant or q_emit:
         qinv_ref = refs[k]; k += 1
     o_ref = refs[k]; k += 1
     amax_ref = None
     if emit_amax:
         amax_ref = refs[k]; k += 1
+    o8_ref = None
+    if q_emit:
+        o8_ref = refs[k]; k += 1
     scr_ref = refs[k]
 
     phase = pl.program_id(0)
@@ -181,6 +185,10 @@ def _fused_gn_kernel_tbc(*refs, nt: int, n: int, eps: float, gelu: bool,
         elif res_ref is not None:
             out = res_ref[...].astype(jnp.float32) + y
             o_ref[...] = out.astype(o_ref.dtype)
+            if o8_ref is not None:
+                qi = qinv_ref[0, 0, :].astype(jnp.float32)[None, None, :]
+                o8_ref[...] = jnp.clip(jnp.round(out * qi), -127, 127
+                                       ).astype(jnp.int8)
             if amax_ref is not None:
                 ta = jnp.max(jnp.abs(out), axis=0, keepdims=True)
 
@@ -196,7 +204,7 @@ def _fused_gn_kernel_tbc(*refs, nt: int, n: int, eps: float, gelu: bool,
 
 
 def _single_launch(xt, scale, bias, residual, quant_scale, *, gelu, eps,
-                   tile, nt, emit_amax):
+                   tile, nt, emit_amax, q_emit_scale=None):
     """Assemble the one-launch two-phase pallas_call on the (T, B, C) view.
 
     Grid (2, nt) with phase-independent AFFINE index maps — every operand
@@ -222,8 +230,10 @@ def _single_launch(xt, scale, bias, residual, quant_scale, *, gelu, eps,
         operands.append(jnp.swapaxes(residual, 0, 1))      # bitcast
     in_specs += [const_c, const_c]
     operands += [scale.reshape(1, 1, c), bias.reshape(1, 1, c)]
-    if quant:
-        qinv = (1.0 / jnp.maximum(quant_scale.astype(jnp.float32), 1e-12))
+    q_emit = q_emit_scale is not None
+    if quant or q_emit:
+        src = quant_scale if quant else q_emit_scale
+        qinv = (1.0 / jnp.maximum(src.astype(jnp.float32), 1e-12))
         qinv = jnp.broadcast_to(qinv, (c,)).reshape(1, 1, c)
         in_specs.append(const_c)
         operands.append(qinv)
@@ -235,10 +245,14 @@ def _single_launch(xt, scale, bias, residual, quant_scale, *, gelu, eps,
         out_shape.append(jax.ShapeDtypeStruct((1, b, c), jnp.float32))
         out_specs.append(pl.BlockSpec((1, b, c), lambda p, j: (0, 0, 0),
                                       memory_space=pltpu.VMEM))
+    if q_emit:
+        out_shape.append(jax.ShapeDtypeStruct((t_len, b, c), jnp.int8))
+        out_specs.append(tile_spec)
 
     kernel = functools.partial(_fused_gn_kernel_tbc, nt=nt, n=n, eps=eps,
                                gelu=gelu, has_res=has_res,
-                               emit_amax=emit_amax, quant=quant)
+                               emit_amax=emit_amax, quant=quant,
+                               q_emit=q_emit)
     passes = 2.0 + (1.0 if has_res else 0.0)
     wr = 0.25 if quant else 1.0
     res = pl.pallas_call(
@@ -255,6 +269,10 @@ def _single_launch(xt, scale, bias, residual, quant_scale, *, gelu, eps,
             bytes_accessed=int((passes + wr) * t_len * b * c
                                * xt.dtype.itemsize)),
     )(*operands)
+    if q_emit:
+        yt, amax, y8 = res
+        return (jnp.swapaxes(yt, 0, 1), jnp.max(amax[0], axis=0),
+                jnp.swapaxes(y8, 0, 1))
     if emit_amax:
         yt, amax = res
         return jnp.swapaxes(yt, 0, 1), jnp.max(amax[0], axis=0)
@@ -284,6 +302,35 @@ def _apply_res_amax_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref, bias_ref,
         amax_ref[...] = jnp.maximum(amax_ref[...], tile_amax)
 
 
+def _apply_res_amax_q_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref,
+                                 bias_ref, qinv_ref, o_ref, amax_ref, o8_ref,
+                                 *, gelu: bool):
+    """Residual apply + amax + int8 twin emit (turbo amax-carry mode).
+
+    Same as _apply_res_amax_kernel_tbc plus a THIRD output: the block
+    output quantised as int8 on a per-channel grid supplied by qinv — the
+    previous diffusion step's amax of this very tensor × a safety margin
+    (activations drift slowly across v-DDIM steps; overshoot clips). The
+    next block's conv1 consumes the int8 twin directly, deleting the
+    separate quantize_act pass (14.9 ms/forward of clamp_convert fusions,
+    traced) for one extra 0.25-pass int8 write here."""
+    y = _gn_core(x_ref, stats_ref, scale_ref, bias_ref, gelu)
+    out = res_ref[...].astype(jnp.float32) + y
+    o_ref[...] = out.astype(o_ref.dtype)
+    qinv = qinv_ref[0, 0, :].astype(jnp.float32)[None, None, :]
+    o8_ref[...] = jnp.clip(jnp.round(out * qinv), -127, 127).astype(jnp.int8)
+    tile_amax = jnp.max(jnp.abs(out), axis=0, keepdims=True)   # (1, B, C)
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        amax_ref[...] = tile_amax
+
+    @pl.when(j > 0)
+    def _acc():
+        amax_ref[...] = jnp.maximum(amax_ref[...], tile_amax)
+
+
 # Per-grid-step tile cap (elements). 512 KiB bf16 tiles double-buffer
 # comfortably in VMEM (the 16 MiB scoped-vmem limit OOMs at 1M-elem tiles
 # in the 3-operand residual variant); swept in-context via AA_GN_TILE by
@@ -300,7 +347,8 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                         residual: jnp.ndarray | None = None,
                         quant_scale: jnp.ndarray | None = None,
                         stats_stride: int = 1,
-                        emit_amax: bool = False) -> jnp.ndarray:
+                        emit_amax: bool = False,
+                        q_emit_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """GroupNorm(1) [+GELU] [+residual add] on a (B, T, C) tensor via the
     (T, B, C) view, keeping the conv layout end to end (see comment above).
     With `residual`, returns residual + gelu(gn(x)). With `quant_scale`
@@ -311,10 +359,16 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
     at 16M elements a 1/4 sample changes mu/rstd by ~0.05%, far below the
     int8 grid, and saves most of the stats pass's HBM read. With
     `emit_amax` (turbo, requires residual), returns (out, per-channel
-    amax (C,) f32 of out) computed for free inside the apply pass."""
+    amax (C,) f32 of out) computed for free inside the apply pass. With
+    `q_emit_scale` (C,) additionally (turbo amax-carry: the scale is the
+    PREVIOUS diffusion step's amax of this output × margin), returns
+    (out, amax, out_int8) — the int8 twin the next block's conv1 consumes
+    directly, replacing its separate quantize_act pass."""
     if emit_amax:
         assert residual is not None and quant_scale is None, \
             "emit_amax is the residual-apply variant (turbo conv1 path)"
+    if q_emit_scale is not None:
+        assert emit_amax, "q_emit_scale rides on the emit_amax variant"
     b, t_len, c = x.shape
     xt = jnp.swapaxes(x, 0, 1)                  # (T, B, C) — bitcast
     tile = t_len
@@ -331,7 +385,7 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
     if t_len * b * c <= int(_os.environ.get("AA_GN_FUSE_MAX", 8_388_608)):
         return _single_launch(xt, scale, bias, residual, quant_scale,
                               gelu=gelu, eps=eps, tile=tile, nt=nt,
-                              emit_amax=emit_amax)
+                              emit_amax=emit_amax, q_emit_scale=q_emit_scale)
 
     partials = pl.pallas_call(
         _stats_kernel_tbc,
@@ -395,6 +449,31 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                 flops=10 * t_len * b * c, transcendentals=t_len * b * c,
                 bytes_accessed=2 * t_len * b * c * x.dtype.itemsize),
         )(xt, stats, scale.reshape(1, 1, c), bias.reshape(1, 1, c))
+    elif emit_amax and q_emit_scale is not None:
+        rt = jnp.swapaxes(residual, 0, 1)       # bitcast too
+        qinv = (1.0 / jnp.maximum(q_emit_scale.astype(jnp.float32), 1e-12))
+        qinv = jnp.broadcast_to(qinv, (c,)).reshape(1, 1, c)
+        amax_spec = pl.BlockSpec((1, b, c), lambda j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        yt, amax, y8 = pl.pallas_call(
+            functools.partial(_apply_res_amax_q_kernel_tbc, gelu=gelu),
+            grid=(nt,),
+            in_specs=[tile_spec, tile_spec] + small_specs +
+                     [pl.BlockSpec((1, 1, c), lambda j: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(tile_spec, amax_spec, tile_spec),
+            out_shape=(jax.ShapeDtypeStruct((t_len, b, c), x.dtype),
+                       jax.ShapeDtypeStruct((1, b, c), jnp.float32),
+                       jax.ShapeDtypeStruct((t_len, b, c), jnp.int8)),
+            interpret=_interpret(),
+            input_output_aliases={0: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=14 * t_len * b * c, transcendentals=t_len * b * c,
+                bytes_accessed=int(3.25 * t_len * b * c
+                                   * x.dtype.itemsize)),
+        )(xt, rt, stats, scale.reshape(1, 1, c), bias.reshape(1, 1, c), qinv)
+        return (jnp.swapaxes(yt, 0, 1), jnp.max(amax[0], axis=0),
+                jnp.swapaxes(y8, 0, 1))
     elif emit_amax:
         rt = jnp.swapaxes(residual, 0, 1)       # bitcast too
         yt, amax = pl.pallas_call(

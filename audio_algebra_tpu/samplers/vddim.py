@@ -39,13 +39,20 @@ def get_crash_schedule(t: jnp.ndarray):
 
 def _ddim_scan(model_fn: Callable, x: jnp.ndarray, t_steps: jnp.ndarray,
                eta: float, key: Optional[jax.Array], extra_args: dict,
-               t_of_idx: Optional[Callable] = None):
+               t_of_idx: Optional[Callable] = None,
+               aux_mode: bool = False):
     """Shared denoise loop for sample/sample_manual. t_steps: (S,)
     descending. When `t_of_idx(idx) -> t` is given, the schedule is
     recomputed arithmetically per step instead of gathered from the table:
     dynamic-slice reads of loop-invariant tables measurably degrade XLA's
     loop-body schedule on TPU (~80 ms/step on the decode UNet), while a
-    few scalar cos/sin are free."""
+    few scalar cos/sin are free.
+
+    `aux_mode`: model_fn is `(x, t, aux, **extra) -> (v, aux)` — the
+    turbo amax-carry contract (aux = per-site activation amaxes; step k
+    quantises with step k-1's grids). Step 0 is unrolled outside the loop
+    with aux=None (the model falls back to same-step quantize_act and
+    emits the first aux), so the loop body has a single uniform jaxpr."""
     steps = t_steps.shape[0]
     ts_ones = jnp.ones((x.shape[0],), x.dtype)
     if key is None:
@@ -54,14 +61,12 @@ def _ddim_scan(model_fn: Callable, x: jnp.ndarray, t_steps: jnp.ndarray,
         def t_of_idx(idx):
             return t_steps[idx]
 
-    def body(idx, x):
+    def update(idx, x, v):
         t_i = t_of_idx(idx)
         alpha_i, sigma_i = get_alphas_sigmas(t_i)
         t_n = t_of_idx(jnp.minimum(idx + 1, steps - 1))
         alpha_n, sigma_n = get_alphas_sigmas(t_n)
-
-        v = model_fn(x, ts_ones * t_i.astype(x.dtype),
-                     **extra_args).astype(jnp.float32)
+        v = v.astype(jnp.float32)
         xf = x.astype(jnp.float32)
         pred = xf * alpha_i - v * sigma_i
         eps = xf * sigma_i + v * alpha_i
@@ -78,14 +83,38 @@ def _ddim_scan(model_fn: Callable, x: jnp.ndarray, t_steps: jnp.ndarray,
         is_last = idx == steps - 1
         return jnp.where(is_last, pred, x_next).astype(x.dtype)
 
-    return jax.lax.fori_loop(0, steps, body, x)
+    def t_at(idx):
+        return ts_ones * t_of_idx(idx).astype(x.dtype)
+
+    if not aux_mode:
+        def body(idx, x):
+            v = model_fn(x, t_at(idx), **extra_args)
+            return update(idx, x, v)
+
+        return jax.lax.fori_loop(0, steps, body, x)
+
+    idx0 = jnp.asarray(0)
+    v, aux = model_fn(x, t_at(idx0), None, **extra_args)
+    x = update(idx0, x, v)
+    if steps == 1:
+        return x
+
+    def body_aux(idx, carry):
+        x, aux = carry
+        v, aux = model_fn(x, t_at(idx), aux, **extra_args)
+        return update(idx, x, v), aux
+
+    x, _ = jax.lax.fori_loop(1, steps, body_aux, (x, aux))
+    return x
 
 
 def sample(model_fn: Callable, x: jnp.ndarray, steps: int, eta: float, logits,
-           key: Optional[jax.Array] = None, **extra_args) -> jnp.ndarray:
+           key: Optional[jax.Array] = None, aux_mode: bool = False,
+           **extra_args) -> jnp.ndarray:
     """Draw samples from noise x with the crash schedule (reference
     DiffusionDVAE.py:54-95). `logits` is the conditioning (kept positional
-    for reference call-site parity: sample(model, noise, steps, 0, reps))."""
+    for reference call-site parity: sample(model, noise, steps, 0, reps)).
+    `aux_mode`: see _ddim_scan (turbo amax-carry model contract)."""
     t = jnp.linspace(1.0, 0.0, steps + 1)[:-1]
     t = get_crash_schedule(t)
     if logits is not None:
@@ -96,7 +125,8 @@ def sample(model_fn: Callable, x: jnp.ndarray, steps: int, eta: float, logits,
         # identical values to the table, computed as scalars per step
         return get_crash_schedule(1.0 - idx.astype(jnp.float32) / steps)
 
-    return _ddim_scan(model_fn, x, t, eta, key, extra_args, t_of_idx=t_of_idx)
+    return _ddim_scan(model_fn, x, t, eta, key, extra_args,
+                      t_of_idx=t_of_idx, aux_mode=aux_mode)
 
 
 def sample_manual(model_fn: Callable, x: jnp.ndarray, steps: int, eta: float,

@@ -84,13 +84,25 @@ def main():
                               (args.batch, 2, args.sample_size), dtype)
 
     def make_pipeline(steps):
+        from audio_algebra_tpu.models.blocks import turbo_int8
+        turbo = turbo_int8()    # trace-time choice, read at pipeline build
+
         @jax.jit
         def pipeline(p, x, n):
             emb = model.apply(p, x.astype(dtype), method=DiffusionDVAE.encode_it)
             emb = -emb                                   # Destructo mathemangle op
-            model_fn = lambda xx, tt, cond: model.apply(
-                p, xx, tt, cond, method=DiffusionDVAE.decode_v)
-            fakes = vddim_sample(model_fn, n, steps, 0, emb)
+            if turbo:
+                # amax-carry: each step quantises on the previous step's
+                # amax grids (aux threaded through the sampler loop)
+                model_fn = lambda xx, tt, aux, cond: model.apply(
+                    p, xx, tt, cond, q_aux=aux,
+                    method=DiffusionDVAE.decode_v_aux)
+                fakes = vddim_sample(model_fn, n, steps, 0, emb,
+                                     aux_mode=True)
+            else:
+                model_fn = lambda xx, tt, cond: model.apply(
+                    p, xx, tt, cond, method=DiffusionDVAE.decode_v)
+                fakes = vddim_sample(model_fn, n, steps, 0, emb)
             return emb, fakes
         return pipeline
 

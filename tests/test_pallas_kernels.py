@@ -119,17 +119,76 @@ class TestTurboInt8:
         lvl = _Level(256, 256, attn=False)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 256)) * 0.6
         params = fast_random_params(lvl, 1, jnp.zeros((1, 8, 256)))
-        ref, a_ref = lvl.apply(params, x)
-        assert a_ref is None
+        ref, a_ref, q_ref = lvl.apply(params, x)
+        assert a_ref is None and q_ref is None
         monkeypatch.setenv("AA_TURBO_INT8", "1")
-        turbo, amax = lvl.apply(params, x)
+        turbo, amax, q = lvl.apply(params, x)
         assert amax is not None and amax.shape == (256,)
+        assert q is not None and q[0].shape == (256,)
         rel = float(jnp.sqrt(jnp.mean((turbo - ref) ** 2)
                              / jnp.mean(ref ** 2)))
         assert 1e-5 < rel < 0.05, rel
         # the emitted bound must actually bound the output
         true_amax = jnp.max(jnp.abs(turbo), axis=(0, 1))
         assert bool(jnp.all(amax >= true_amax - 1e-4))
+
+    def test_q_emit_twin_matches_separate_quantize(self):
+        """The GN residual kernel's int8 twin (q_emit_scale) must equal
+        quantising the bf16 output separately on the same grid — the
+        amax-carry path changes WHERE quantisation happens, not its math."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 256)) * 1.3
+        res = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 256)) * 2.0
+        scale = jnp.linspace(0.5, 1.5, 256)
+        bias = jnp.linspace(-0.2, 0.2, 256)
+        out_ref, amax_ref = groupnorm1_gelu_btc(x, scale, bias, residual=res,
+                                                emit_amax=True)
+        grid = (jnp.maximum(amax_ref, 1e-6) * 1.25 / 127.0)
+        out, amax, o8 = groupnorm1_gelu_btc(x, scale, bias, residual=res,
+                                            emit_amax=True,
+                                            q_emit_scale=grid)
+        assert float(jnp.abs(out - out_ref).max()) < 1e-6
+        assert float(jnp.abs(amax - amax_ref).max()) < 1e-6
+        manual = jnp.clip(jnp.round(out_ref.astype(jnp.float32) / grid),
+                          -127, 127).astype(jnp.int8)
+        assert int(jnp.abs(o8.astype(jnp.int32)
+                           - manual.astype(jnp.int32)).max()) <= 1
+
+    def test_amax_carry_unet_decode(self, monkeypatch):
+        """Turbo decode with the amax-carry sampler (aux threaded through
+        the loop, step 0 unrolled) stays within the turbo error band of the
+        bf16 decode, on a 2-level UNet with 128-channel pallas-aligned
+        shapes."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.models.dvae import DiffusionDVAE
+        from audio_algebra_tpu.samplers.vddim import sample as vddim_sample
+        from audio_algebra_tpu.utils.params import fast_random_params
+
+        model = DiffusionDVAE(latent_dim=8, capacity=4, c_mults=(2, 4),
+                              strides=(4, 2), n_attn_layers=0,
+                              diffusion_c_mults=(128, 128))
+        params = fast_random_params(model, 0, jnp.zeros((1, 2, 2048)),
+                                    jnp.zeros((1,)))
+        noise = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 2048))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 256))
+
+        ref = vddim_sample(
+            lambda x, t, cond: model.apply(params, x, t, cond,
+                                           method=DiffusionDVAE.decode_v),
+            noise, 3, 0, cond)
+        monkeypatch.setenv("AA_TURBO_INT8", "1")
+        got = vddim_sample(
+            lambda x, t, aux, cond: model.apply(
+                params, x, t, cond, q_aux=aux,
+                method=DiffusionDVAE.decode_v_aux),
+            noise, 3, 0, cond, aux_mode=True)
+        rel = float(jnp.sqrt(jnp.mean((got - ref) ** 2)
+                             / jnp.maximum(jnp.mean(ref ** 2), 1e-12)))
+        assert 1e-6 < rel < 0.08, rel
 
     def test_conv1d_int8_matches_float(self):
         import jax
