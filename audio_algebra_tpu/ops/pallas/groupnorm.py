@@ -369,6 +369,11 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
             "emit_amax is the residual-apply variant (turbo conv1 path)"
     if q_emit_scale is not None:
         assert emit_amax, "q_emit_scale rides on the emit_amax variant"
+    # checked here, BEFORE the size dispatch: the single-launch kernel's
+    # `if quant ... elif residual` would otherwise silently drop the
+    # residual add for small tensors instead of failing fast
+    assert quant_scale is None or residual is None, \
+        "turbo quantise is exclusive with residual"
     b, t_len, c = x.shape
     xt = jnp.swapaxes(x, 0, 1)                  # (T, B, C) — bitcast
     tile = t_len

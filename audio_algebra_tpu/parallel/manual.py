@@ -51,7 +51,14 @@ def make_manual_ddp_step(loss_fn: Callable, optimizer, mesh: Mesh,
     data_size = mesh.shape["data"]
 
     def _arg_spec(x):
-        if jnp.ndim(x) >= 1 and jnp.shape(x)[0] % data_size == 0 \
+        # Shard only rank>=2 args on their leading dim. Under shard_map the
+        # in_spec CHANGES SEMANTICS (each device sees its slice), unlike
+        # the annotated step where a sharding is just layout — a 1-D
+        # vector like the (nstems,) faders must stay replicated even when
+        # its length happens to divide the device count (on a 2-device
+        # mesh, splitting faders (2,) silently mis-mixes both stems with
+        # one fader each; reproduced, see tests/test_parallel.py).
+        if jnp.ndim(x) >= 2 and jnp.shape(x)[0] % data_size == 0 \
                 and jnp.shape(x)[0] >= data_size:
             return P("data", *([None] * (jnp.ndim(x) - 1)))
         return P()

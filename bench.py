@@ -166,7 +166,12 @@ def main():
         print("# " + json.dumps(bf16_line), file=sys.stderr)
         dt_head, steps_head = dt_t, args.steps
     else:
-        bf16_line["metric"] = f"rt_factor_encode_matherm_decode{args.steps}"
+        # if the turbo env is already set, the pipeline above WAS int8 —
+        # label the metric accordingly so cross-run tracking never mixes
+        # precision configs under one name
+        suffix = "_int8" if os.environ.get("AA_TURBO_INT8") == "1" else ""
+        bf16_line["metric"] = \
+            f"rt_factor_encode_matherm_decode{args.steps}{suffix}"
         print(json.dumps(bf16_line))
         dt_head, steps_head = dt, args.steps
     print(f"# compile={compile_s:.1f}s step={dt*1e3:.1f}ms "

@@ -120,6 +120,38 @@ def test_manual_shard_map_step_matches_annotated():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_manual_step_replicates_small_vectors_on_tiny_mesh():
+    """Regression: on a 2-device mesh, a 1-D arg whose length happens to
+    divide the device count (the (nstems,) fader vector) must stay
+    REPLICATED — under shard_map an in_spec changes semantics, and
+    splitting faders silently mis-mixes stems (each device would see one
+    fader broadcast over both stems). manual must equal annotated for a
+    per-example loss with such an arg."""
+    from audio_algebra_tpu.parallel.manual import make_manual_ddp_step
+
+    mesh = make_mesh(n_devices=2)
+    rng = np.random.default_rng(0)
+    w0 = {"w": rng.standard_normal((4, 3)).astype(np.float32)}
+    x = rng.standard_normal((8, 2, 4)).astype(np.float32)   # (B, S, F)
+    gains = np.asarray([1.0, -0.5], np.float32)             # (S,) == n_dev!
+
+    def loss_fn(p, xb, g):
+        mixed = jnp.einsum("bsf,s->bf", xb, g)              # uses BOTH gains
+        pred = mixed @ p["w"]
+        loss = jnp.mean(pred ** 2)
+        return loss, {"train_loss": loss}
+
+    opt = optax.sgd(1e-1)
+    annotated = make_data_parallel_step(loss_fn, opt, mesh)
+    manual = make_manual_ddp_step(loss_fn, opt, mesh)
+    p_a, _, _ = annotated(replicate_state(w0, mesh),
+                          replicate_state(opt.init(w0), mesh), x, gains)
+    p_m, _, _ = manual(replicate_state(w0, mesh),
+                       replicate_state(opt.init(w0), mesh), x, gains)
+    np.testing.assert_allclose(np.asarray(p_a["w"]), np.asarray(p_m["w"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_manual_shard_map_step_mixer_loss_runs():
     """Manual DDP over the real mixer loss: runs, logs finite, loss drops
     over a few steps (local-shard VICReg semantics — the reference's DDP

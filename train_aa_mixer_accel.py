@@ -16,7 +16,11 @@ parallelism plumbing.
 
 Also mirrors the accel script's flavor: HostPrinter rank-0 printing
 (reference :47), a flat manual epoch/step loop, and inline loss
-composition — no trainer framework.
+composition — no trainer framework. The setup/loop scaffolding shared
+with train_aa_mixer.py is DELIBERATELY duplicated, exactly as the
+reference's accel script duplicated its Lightning sibling inline: both
+entry points are self-contained and each is covered by its own
+run+checkpoint+resume subprocess test, which is what keeps them honest.
 """
 from __future__ import annotations
 
@@ -104,7 +108,18 @@ def main():
             start_step = int(restored["step"])
             hprint(f"Resumed from {ck} at step {start_step}")
         except Exception as e:
-            hprint(f"Resume failed ({e}); starting fresh")
+            # older checkpoints have no opt_state entry (or a mismatched
+            # MultiSteps tree) — keep the trained params at least, like
+            # train_aa_mixer.py does
+            try:
+                restored = load_checkpoint(ck, {"params": aa.params,
+                                                "step": 0})
+                params = replicate_state(restored["params"], mesh)
+                start_step = int(restored["step"])
+                hprint(f"Resumed (params only, no opt_state) from {ck} "
+                       f"at step {start_step}")
+            except Exception:
+                hprint(f"Resume failed ({e}); starting fresh")
 
     logger = RunLogger(project='aa-mixer-vicreg', name=args.name,
                        config=args.to_dict())
