@@ -35,7 +35,10 @@ def supported(x_shape, dtype) -> bool:
     if len(x_shape) != 3:
         return False
     b, t_len, c = x_shape
-    return c % 128 == 0 and t_len % 8 == 0 and (t_len & (t_len - 1)) == 0
+    # t_len >= 8 also rejects t_len == 0 (0 & -1 == 0 passes the power-of-2
+    # check!) — deep UNet levels of a too-short init dummy reach T == 0
+    return c % 128 == 0 and t_len >= 8 and t_len % 8 == 0 \
+        and (t_len & (t_len - 1)) == 0
 
 
 # ------------------------------------------------- (T, B, C)-view variant ---

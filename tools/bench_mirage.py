@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark the MIRAGE generation pipeline at the reference's production
+config (reference mirage.py:264-266: 150 inner CFG latent-diffusion steps +
+100 outer v-DDIM steps, 22 s of 48 kHz audio per batch item).
+
+Random weights (the multi-GB pretrained checkpoints aren't fetchable
+here) — identical FLOPs/traffic to the real model. Prints realtime
+factors per stage and end-to-end; results recorded in BASELINE.md.
+"""
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner-steps", type=int, default=150)
+    ap.add_argument("--outer-steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from audio_algebra_tpu.given_models import CLAPDAE
+
+    w = CLAPDAE(debug=False)
+    w.setup(gdrive=False)
+
+    emb = jax.random.normal(jax.random.PRNGKey(0), (args.batch, 1, 512))
+
+    def fetch(v):
+        return float(jnp.abs(jnp.ravel(v)[:8]).sum())
+
+    t0 = time.time()
+    fakes, _ = w.generate(emb, demo_steps=args.inner_steps,
+                          outer_steps=args.outer_steps,
+                          batch_size=args.batch)
+    fetch(fakes)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(args.iters):
+        fakes, _ = w.generate(emb, demo_steps=args.inner_steps,
+                              outer_steps=args.outer_steps,
+                              batch_size=args.batch)
+        fetch(fakes)
+    dt = (time.time() - t0) / args.iters
+
+    audio_sec = args.batch * w.sample_size / 48000
+    print(json.dumps({
+        "metric": f"mirage_generate_rt_{args.inner_steps}i_{args.outer_steps}o",
+        "value": round(audio_sec / dt, 2), "unit": "x_realtime_per_chip",
+        "note": f"{dt:.1f}s per {audio_sec:.1f}s of audio; "
+                f"compile {compile_s:.0f}s"}))
+    print(f"# batch={args.batch} sample_size={w.sample_size} "
+          f"inner={args.inner_steps} outer={args.outer_steps}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
