@@ -443,6 +443,13 @@ class StackedDiffAEWrapper(GivenModelClass):
              small_reps.shape[2] * self.latent_downsampling_ratio))
 
         def fn(p, n, small):
+            from .models.blocks import turbo_int8
+            if turbo_int8():
+                model_fn = lambda x, t, aux, cond: self.model.apply(
+                    p, x, t, cond, q_aux=aux,
+                    method=LatentAudioDiffusionAutoencoder.diffusion_v_aux)
+                return vddim_sample(model_fn, n, steps, 0, small,
+                                    aux_mode=True)
             model_fn = lambda x, t, cond: self.model.apply(
                 p, x, t, cond, method=LatentAudioDiffusionAutoencoder.diffusion_v)
             return vddim_sample(model_fn, n, steps, 0, small)
@@ -784,11 +791,22 @@ class CLAPDAE(GivenModelClass):
             self.next_key(),
             (fake_latents.shape[0], self.latent_diffae.latent_dim,
              fake_latents.shape[2] * self.latent_diffae.latent_downsampling_ratio))
-        s1_fn = lambda x, t, cond: self.latent_diffae.apply(
-            self.diffae_params, x, t, cond,
-            method=LatentAudioDiffusionAutoencoder.diffusion_v)
-        first_stage = vddim_sample(s1_fn, s1_noise, outer_steps, 0, fake_latents,
-                                   key=self.next_key())
+        from .models.blocks import turbo_int8
+        if turbo_int8():
+            # amax-carry through the outer v-DDIM loop (same contract as
+            # the DVAE decode): grids ride the sampler carry
+            s1_fn = lambda x, t, aux, cond: self.latent_diffae.apply(
+                self.diffae_params, x, t, cond, q_aux=aux,
+                method=LatentAudioDiffusionAutoencoder.diffusion_v_aux)
+            first_stage = vddim_sample(s1_fn, s1_noise, outer_steps, 0,
+                                       fake_latents, key=self.next_key(),
+                                       aux_mode=True)
+        else:
+            s1_fn = lambda x, t, cond: self.latent_diffae.apply(
+                self.diffae_params, x, t, cond,
+                method=LatentAudioDiffusionAutoencoder.diffusion_v)
+            first_stage = vddim_sample(s1_fn, s1_noise, outer_steps, 0,
+                                       fake_latents, key=self.next_key())
         first_stage = jnp.clip(first_stage, -1, 1)
         fakes = self.latent_diffae.apply(
             self.diffae_params, first_stage,

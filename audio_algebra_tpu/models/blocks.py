@@ -113,6 +113,17 @@ def turbo_int8() -> bool:
     return os.environ.get("AA_TURBO_INT8") == "1"
 
 
+def turbo_batch_ok(b: int) -> bool:
+    """Turbo int8 only pays at batch >= 16: the GN kernels' (T, B, C) view
+    puts B in the sublane dimension, and int8 native tiles are 32 rows —
+    at B=4 the int8 reads/writes run at ~12.5% tile utilisation and the
+    whole MIRAGE outer stage measured 6x SLOWER with turbo on (199.6 s vs
+    ~33 s for 100 steps at (4, 32, 32768)). Below the threshold every
+    turbo site falls back to the bf16 path. AA_TURBO_MIN_B overrides."""
+    import os
+    return b >= int(os.environ.get("AA_TURBO_MIN_B", 16))
+
+
 def quantize_act(x: jnp.ndarray, amax: jnp.ndarray):
     """Per-channel symmetric int8 quantisation of an activation tensor given
     a per-channel |x| bound (turbo conv1 path: the bound comes free from the
@@ -252,7 +263,7 @@ class GroupNorm1(nn.Module):
         if pgn.supported(x.shape, x.dtype):
             # turbo also subsamples the statistics pass (error ~0.05%,
             # far below the int8 grid it feeds)
-            stride = 4 if turbo_int8() else 1
+            stride = 4 if turbo_int8() and turbo_batch_ok(x.shape[0]) else 1
             out = pgn.groupnorm1_gelu_btc(x, scale.astype(x.dtype),
                                           bias.astype(x.dtype),
                                           gelu=self.fuse_gelu,
@@ -281,15 +292,22 @@ class GroupNorm1(nn.Module):
             return y8, q_scales
         y = y.astype(x.dtype)
         out = y if residual is None else residual + y
+
+        def _amax(v):
+            # zero-size T happens when a too-deep UNet's init dummy shrinks
+            # to nothing — jnp.max over an empty axis has no identity
+            if v.shape[0] * v.shape[1] == 0:
+                return jnp.zeros((v.shape[-1],), jnp.float32)
+            return jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(0, 1))
+
         if q_emit_scale is not None:
-            amax = jnp.max(jnp.abs(out.astype(jnp.float32)), axis=(0, 1))
+            amax = _amax(out)
             o8 = jnp.clip(jnp.round(out.astype(jnp.float32)
                                     / q_emit_scale), -127, 127
                           ).astype(jnp.int8)
             return out, amax, Int8Act(o8, q_emit_scale)
         if emit_amax:
-            amax = (jnp.max(jnp.abs(out.astype(jnp.float32)), axis=(0, 1))
-                    if residual is not None else None)
+            amax = _amax(out) if residual is not None else None
             return out, amax
         return out
 
@@ -348,7 +366,8 @@ class ResConvBlock(nn.Module):
         parts = x if pair else (x,)
         c_in = sum(p.shape[-1] for p in parts)
         p0 = parts[0]
-        turbo = turbo_int8() and p0.dtype in (jnp.bfloat16, jnp.float32) \
+        turbo = turbo_int8() and turbo_batch_ok(p0.shape[0]) \
+            and p0.dtype in (jnp.bfloat16, jnp.float32) \
             and pgn.supported((p0.shape[0], p0.shape[1], c_in), p0.dtype)
         if pair:
             skip = SplitLinear(self.c_out, name="skip_proj")(parts)

@@ -80,6 +80,12 @@ class LatentAudioDiffusionAutoencoder(nn.Module):
         """Stage-1-latent v prediction (sampler model_fn, reference :232)."""
         return self.diffusion(x, t, cond)
 
+    def diffusion_v_aux(self, x, t, cond, q_aux=None):
+        """diffusion_v in the turbo amax-carry contract: (v, q_aux_out) —
+        the sampler threads the per-site amax tree across steps (see
+        DiffusionAttnUnet1D.__call__)."""
+        return self.diffusion(x, t, cond, q_aux=q_aux, collect_q_aux=True)
+
     def decode_first_stage(self, first_stage_latents: jnp.ndarray) -> jnp.ndarray:
         """AE decode of (clamped) stage-1 latents -> audio (reference :237)."""
         return self.autoencoder.decode(first_stage_latents)

@@ -52,7 +52,9 @@ class _Level(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_amax=None, q_in=None):
-        turbo = turbo_int8()
+        from .blocks import turbo_batch_ok
+        p0 = x[0] if isinstance(x, tuple) else x
+        turbo = turbo_int8() and turbo_batch_ok(p0.shape[0])
         emit = turbo and not self.attn
         carry = emit and q_in is not None
 

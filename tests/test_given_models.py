@@ -130,6 +130,34 @@ def test_stacked_diffae_wrapper():
     assert full.shape == (1, 2, 1024)
 
 
+@pytest.mark.slow
+def test_stacked_diffae_turbo_aux_decode(monkeypatch):
+    """decode_stage1to2 under AA_TURBO_INT8 takes the amax-carry sampler
+    (aux threaded across v-DDIM steps) and stays close to the bf16 path
+    on a tiny config (whose shapes fall back to non-quantised convs — the
+    contract must still roundtrip the aux tree)."""
+    w = StackedDiffAEWrapper(
+        first_stage_config={"capacity": 4, "c_mults": [2, 4], "strides": [2, 2],
+                            "latent_dim": 8},
+        model_kwargs=dict(second_stage_latent_dim=4, factors=(2, 2),
+                          latent_channels=8, latent_multipliers=(1, 2, 2),
+                          latent_num_blocks=(1, 1),
+                          diffusion_c_mults=(8, 16, 16), diffusion_depth=3))
+    x = np.random.default_rng(2).standard_normal((1, 2, 1024)).astype(np.float32)
+    small = w.encode(x)
+    import jax as _jax
+    w._key = _jax.random.PRNGKey(7)          # same noise draw both calls
+    ref = np.asarray(w.decode_stage1to2(small, steps=3))
+    monkeypatch.setenv("AA_TURBO_INT8", "1")
+    monkeypatch.setenv("AA_TURBO_MIN_B", "1")
+    w._key = _jax.random.PRNGKey(7)
+    got = np.asarray(w.decode_stage1to2(small, steps=3))
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    rel = float(np.sqrt(np.mean((got - ref) ** 2)
+                        / max(np.mean(ref ** 2), 1e-12)))
+    assert rel < 0.1, rel
+
+
 def test_dmae1d_wrapper():
     w = DMAE1d(model_kwargs=dict(latent_dim=4, n_mels=16, downsample=256,
                                  unet_c_mults=(8, 16), n_attn_layers=0))

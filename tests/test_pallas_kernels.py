@@ -85,6 +85,7 @@ class TestTurboInt8:
         params = fast_random_params(blk, 1, jnp.zeros((1, 8, 256)))
         ref = blk.apply(params, x)
         monkeypatch.setenv("AA_TURBO_INT8", "1")
+        monkeypatch.setenv("AA_TURBO_MIN_B", "1")   # tiny CPU batches
         turbo = blk.apply(params, x)       # same params tree: no new leaves
         rel = float(jnp.sqrt(jnp.mean((turbo - ref) ** 2)
                              / jnp.mean(ref ** 2)))
@@ -122,6 +123,7 @@ class TestTurboInt8:
         ref, a_ref, q_ref = lvl.apply(params, x)
         assert a_ref is None and q_ref is None
         monkeypatch.setenv("AA_TURBO_INT8", "1")
+        monkeypatch.setenv("AA_TURBO_MIN_B", "1")
         turbo, amax, q = lvl.apply(params, x)
         assert amax is not None and amax.shape == (256,)
         assert q is not None and q[0].shape == (256,)
@@ -181,6 +183,7 @@ class TestTurboInt8:
                                            method=DiffusionDVAE.decode_v),
             noise, 3, 0, cond)
         monkeypatch.setenv("AA_TURBO_INT8", "1")
+        monkeypatch.setenv("AA_TURBO_MIN_B", "1")
         got = vddim_sample(
             lambda x, t, aux, cond: model.apply(
                 params, x, t, cond, q_aux=aux,
