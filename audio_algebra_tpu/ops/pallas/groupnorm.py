@@ -31,10 +31,17 @@ def _interpret() -> bool:
 
 
 def supported(x_shape, dtype) -> bool:
-    """The kernel wants lane-aligned channels and sublane-friendly tiles."""
+    """The kernel wants lane-aligned channels and sublane-friendly tiles.
+
+    AA_GN_MIN_B (default 1) additionally gates on batch: the (T, B, C)
+    view puts B in the sublane dimension, so small batches under-fill the
+    native (16, 128) bf16 tiles — a dial for measuring the pallas-vs-XLA
+    crossover at small B."""
     if len(x_shape) != 3:
         return False
     b, t_len, c = x_shape
+    if b < int(_os.environ.get("AA_GN_MIN_B", 1)):
+        return False
     # t_len >= 8 also rejects t_len == 0 (0 & -1 == 0 passes the power-of-2
     # check!) — deep UNet levels of a too-short init dummy reach T == 0
     return c % 128 == 0 and t_len >= 8 and t_len % 8 == 0 \
