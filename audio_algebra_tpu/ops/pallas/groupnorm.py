@@ -341,6 +341,188 @@ def _apply_res_amax_q_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref,
         amax_ref[...] = jnp.maximum(amax_ref[...], tile_amax)
 
 
+# ------------------------------------------------ flattened-rows variant ---
+# For SMALL batches the (T, B, C) view starves the sublane dimension: B
+# rides in the second-minor axis, and with B=4 the native bf16 (16, 128)
+# tiles are 25% full (int8 (32, 128): 12.5%). Row-major (T, B, C) is
+# byte-identical to (T*B, C), so this variant works on 2-D row blocks
+# (full sublane utilisation at any B) and maps each row to its batch item
+# arithmetically: rows cycle through b with period b, so a per-tile
+# one-hot (R, b) built from iota%b turns per-b stats and per-row mu/rstd
+# into two tiny matmuls. MEASURED SLOWER than the 3-D path on the MIRAGE
+# stages (see dispatcher note) — dispatch-disabled by default.
+
+def _rows_gn_kernel(*refs, nt: int, n: int, b: int, eps: float, gelu: bool,
+                    has_res: bool, emit_amax: bool, quant: bool,
+                    q_emit: bool):
+    k = 0
+    x_ref = refs[k]; k += 1
+    res_ref = None
+    if has_res:
+        res_ref = refs[k]; k += 1
+    scale_ref, bias_ref = refs[k], refs[k + 1]; k += 2
+    qinv_ref = None
+    if quant or q_emit:
+        qinv_ref = refs[k]; k += 1
+    o_ref = refs[k]; k += 1
+    amax_ref = None
+    if emit_amax:
+        amax_ref = refs[k]; k += 1
+    o8_ref = None
+    if q_emit:
+        o8_ref = refs[k]; k += 1
+    scr_ref = refs[k]
+
+    phase = pl.program_id(0)
+    j = pl.program_id(1)
+    rows = x_ref.shape[0]
+    # rows % b == 0 and every block starts at a multiple of b, so the
+    # local row index mod b IS the batch index — block-invariant one-hot
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (rows, b), 0) % b
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (rows, b), 1)
+    onehot = (row_b == col_b).astype(jnp.float32)          # (R, b)
+
+    @pl.when(phase == 0)
+    def _stats():
+        x = x_ref[...].astype(jnp.float32)                  # (R, C)
+        s_rows = jnp.sum(x, axis=1)                         # (R,)
+        q_rows = jnp.sum(jnp.square(x), axis=1)
+        s1 = s_rows[None, :] @ onehot                       # (1, b)
+        s2 = q_rows[None, :] @ onehot
+        part = jnp.pad(jnp.concatenate([s1, s2], axis=0),
+                       ((0, 0), (0, 128 - b)))              # (2, 128)
+
+        @pl.when(j == 0)
+        def _init():
+            scr_ref[...] = part
+
+        @pl.when(j > 0)
+        def _acc():
+            scr_ref[...] = scr_ref[...] + part
+
+        @pl.when(j == nt - 1)
+        def _finalize():
+            s = scr_ref[...]
+            mu = s[0, :b] / n
+            var = jnp.maximum(s[1, :b] / n - jnp.square(mu), 0.0)
+            rstd = jax.lax.rsqrt(var + eps)
+            scr_ref[...] = jnp.pad(jnp.stack([mu, rstd], axis=0),
+                                   ((0, 0), (0, 128 - b)))
+
+    @pl.when(phase == 1)
+    def _apply():
+        x = x_ref[...].astype(jnp.float32)
+        s = scr_ref[...]
+        mu = (onehot @ s[0, :b][:, None])                   # (R, 1)
+        rstd = (onehot @ s[1, :b][:, None])
+        y = (x - mu) * rstd
+        y = y * scale_ref[0, :].astype(jnp.float32)[None, :] \
+            + bias_ref[0, :].astype(jnp.float32)[None, :]
+        if gelu:
+            y = _gelu(y)
+        if quant:
+            qi = qinv_ref[0, :].astype(jnp.float32)[None, :]
+            o_ref[...] = jnp.clip(jnp.round(y * qi), -127, 127
+                                  ).astype(jnp.int8)
+        elif res_ref is not None:
+            out = res_ref[...].astype(jnp.float32) + y
+            o_ref[...] = out.astype(o_ref.dtype)
+            if o8_ref is not None:
+                qi = qinv_ref[0, :].astype(jnp.float32)[None, :]
+                o8_ref[...] = jnp.clip(jnp.round(out * qi), -127, 127
+                                       ).astype(jnp.int8)
+            if amax_ref is not None:
+                ta = jnp.max(jnp.abs(out), axis=0, keepdims=True)  # (1, C)
+
+                @pl.when(j == 0)
+                def _ai():
+                    amax_ref[...] = ta
+
+                @pl.when(j > 0)
+                def _aa():
+                    amax_ref[...] = jnp.maximum(amax_ref[...], ta)
+        else:
+            o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _rows_launch(xt, scale, bias, residual, quant_scale, *, gelu, eps, b,
+                 emit_amax, q_emit_scale=None):
+    """Two-phase single-launch GN on the flattened (T*B, C) row view."""
+    t_len, b_, c = xt.shape
+    x2 = xt.reshape(t_len * b_, c)               # row-major: bitcast
+    total = t_len * b_
+    has_res = residual is not None
+    quant = quant_scale is not None
+    q_emit = q_emit_scale is not None
+    n = t_len * c                                # per-batch-item count
+
+    tile = total
+    while tile * c > MAX_TILE_ELEMS and tile % 2 == 0 and (tile // 2) % b_ == 0:
+        tile //= 2
+    nt = total // tile
+
+    tile_spec = pl.BlockSpec((tile, c), lambda p, j: (j, 0),
+                             memory_space=pltpu.VMEM)
+    const_c = pl.BlockSpec((1, c), lambda p, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    in_specs = [tile_spec]
+    operands = [x2]
+    if has_res:
+        in_specs.append(tile_spec)
+        operands.append(jnp.swapaxes(residual, 0, 1).reshape(total, c))
+    in_specs += [const_c, const_c]
+    operands += [scale.reshape(1, c), bias.reshape(1, c)]
+    if quant or q_emit:
+        src = quant_scale if quant else q_emit_scale
+        qinv = (1.0 / jnp.maximum(src.astype(jnp.float32), 1e-12))
+        qinv = jnp.broadcast_to(qinv, (c,)).reshape(1, c)
+        in_specs.append(const_c)
+        operands.append(qinv)
+
+    out_dtype = jnp.int8 if quant else xt.dtype
+    out_shape = [jax.ShapeDtypeStruct((total, c), out_dtype)]
+    out_specs = [tile_spec]
+    if emit_amax:
+        out_shape.append(jax.ShapeDtypeStruct((1, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, c), lambda p, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    if q_emit:
+        out_shape.append(jax.ShapeDtypeStruct((total, c), jnp.int8))
+        out_specs.append(tile_spec)
+
+    kernel = functools.partial(_rows_gn_kernel, nt=nt, n=n, b=b_, eps=eps,
+                               gelu=gelu, has_res=has_res,
+                               emit_amax=emit_amax, quant=quant,
+                               q_emit=q_emit)
+    res = pl.pallas_call(
+        kernel,
+        grid=(2, nt),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
+        out_shape=out_shape[0] if len(out_shape) == 1 else tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((2, 128), jnp.float32)],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=int((12 if has_res else 10) * total * c),
+            transcendentals=total * c if gelu else 0,
+            bytes_accessed=int((2.0 + (1.0 if has_res else 0.0)
+                                + (0.25 if quant else 1.0)) * total * c
+                               * xt.dtype.itemsize)),
+    )(*operands)
+
+    def unflat(v):
+        return jnp.swapaxes(v.reshape(t_len, b_, c), 0, 1)
+
+    if q_emit:
+        yt, amax, y8 = res
+        return unflat(yt), amax[0], unflat(y8)
+    if emit_amax:
+        yt, amax = res
+        return unflat(yt), amax[0]
+    return unflat(res)
+
+
 # Per-grid-step tile cap (elements). 512 KiB bf16 tiles double-buffer
 # comfortably in VMEM (the 16 MiB scoped-vmem limit OOMs at 1M-elem tiles
 # in the 3-operand residual variant); swept in-context via AA_GN_TILE by
@@ -393,6 +575,20 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
     nt = t_len // tile
     stride = stats_stride if stats_stride > 1 and nt >= 4 * stats_stride else 1
     nst = nt // stride
+
+    # Flattened-rows variant: NEGATIVE RESULT, disabled by default. The
+    # theory was sound (the (T, B, C) view under-fills sublane tiles at
+    # small B: 25% bf16 / 12.5% int8 at B=4) but the measured MIRAGE
+    # stages got SLOWER with it (inner CFG stage 17.1 -> 31.4 s, outer
+    # 30.3 -> 32.8 s at B=4) — the two-phase full-rate stats reads and
+    # in-kernel one-hot matmuls cost more than the utilisation win at
+    # these shapes. Kept behind AA_GN_ROWS_MAX_B (exclusive bound; 0 =
+    # off) with an equivalence test, in case a future shape profits.
+    rows_max_b = int(_os.environ.get("AA_GN_ROWS_MAX_B", 0))
+    if b < rows_max_b and (b & (b - 1)) == 0 and (t_len * b) % 8 == 0:
+        return _rows_launch(xt, scale, bias, residual, quant_scale,
+                            gelu=gelu, eps=eps, b=b, emit_amax=emit_amax,
+                            q_emit_scale=q_emit_scale)
 
     # Small tensors: one two-phase launch (launch overhead dominates their
     # traffic); big tensors keep the strided stats + apply pair (the 1/4-

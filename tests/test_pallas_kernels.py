@@ -134,6 +134,37 @@ class TestTurboInt8:
         true_amax = jnp.max(jnp.abs(turbo), axis=(0, 1))
         assert bool(jnp.all(amax >= true_amax - 1e-4))
 
+    def test_rows_variant_matches_3d_paths(self, monkeypatch):
+        """The flattened-rows GN (small-batch dispatch) must agree with the
+        (T, B, C)-view kernels on every variant: plain, residual+amax, and
+        residual+amax+int8-twin."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas import groupnorm as pgn
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 256, 256)) * 1.4
+        res = jax.random.normal(jax.random.PRNGKey(1), (4, 256, 256)) * 2.0
+        scale = jnp.linspace(0.5, 1.5, 256)
+        bias = jnp.linspace(-0.2, 0.2, 256)
+
+        def run():
+            plain = pgn.groupnorm1_gelu_btc(x, scale, bias)
+            out, amax = pgn.groupnorm1_gelu_btc(x, scale, bias, residual=res,
+                                                emit_amax=True)
+            grid = jnp.maximum(amax, 1e-6) * 1.25 / 127.0
+            o2, a2, o8 = pgn.groupnorm1_gelu_btc(x, scale, bias, residual=res,
+                                                 emit_amax=True,
+                                                 q_emit_scale=grid)
+            return plain, out, amax, o2, a2, o8
+
+        monkeypatch.setenv("AA_GN_ROWS_MAX_B", "16")   # enable rows path
+        r_rows = run()
+        monkeypatch.setenv("AA_GN_ROWS_MAX_B", "0")    # force 3-D path
+        r_3d = run()
+        for a, b, tol in zip(r_rows, r_3d, (1e-5, 1e-5, 1e-4, 1e-5, 1e-4, 1.001)):
+            assert float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                         - b.astype(jnp.float32)))) <= tol
+
     def test_q_emit_twin_matches_separate_quantize(self):
         """The GN residual kernel's int8 twin (q_emit_scale) must equal
         quantising the bf16 output separately on the same grid — the
