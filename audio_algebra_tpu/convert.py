@@ -116,9 +116,13 @@ def convert_stacked_state_dict(sd: Dict[str, np.ndarray], params_template):
     overwrite the mains first — the reference's setup swap
     (given_models.py:414-416)."""
     sd = remap_ema_weights(strip_prefixes(sd))
+    # the AE's encoder and decoder are separate buckets: a decoder
+    # ConvTranspose weight transposed conv-style is shape-identical to the
+    # encoder's strided down conv, so one shared bucket cross-pours them
     new, hits, misses = convert_by_shape(
         sd, params_template,
-        buckets={"autoencoder": ("autoencoder.",),
+        buckets={"encoder": ("autoencoder.encoder.",),
+                 "decoder": ("autoencoder.decoder.",),
                  "latent_encoder": ("latent_encoder.",),
                  "diffusion": ("diffusion.",)})
     report("LatentAudioDiffusionAutoencoder", hits, misses,
@@ -174,37 +178,136 @@ def _pour_by_predicate(sd: Dict[str, np.ndarray], params_template,
                        pairs: List[Tuple]) -> Tuple:
     """Shared pour loop: pairs = [(slot_pred(path)->bool,
     torch_pred(name)->bool), ...]; each pair is an independently-ordered
-    bucket. Returns (new_params, hits, misses)."""
-    flat = _flat_params(params_template)
-    leaves_with_path = jax.tree_util.tree_flatten_with_path(params_template)[0]
+    bucket. Returns (new_params, hits, misses).
+
+    Pairing is KIND-aware, not shape-only: tensors carry one of four kinds —
+    'w' (>=2-D weights), 'g' (norm scales), 'b' (conv/linear biases), 'gb'
+    (norm biases) — and only pair within their kind. Shape-only ordered
+    pairing silently swapped GroupNorm scale<->bias (both (C,)) and paired
+    conv biases with norm biases whenever natural-sort order diverged from
+    definition order; kinds eliminate that whole class. A torch bias's kind
+    comes from its sibling weight's ndim; a flax bias's from whether its
+    module has a 'scale' sibling. 'w' tensors try several orientations in
+    priority order: conv (O,I,K)->(K,I,O), 1x1-conv squeeze ->(I,O) (flax
+    Dense slots), conv-transpose (I,O,K)->(K,I,O), linear transpose, and
+    raw (FourierFeatures' (out/2, in) is stored unchanged)."""
     flat_leaves, treedef = jax.tree_util.tree_flatten(params_template)
-    path_index = {}
-    for i, (path, _) in enumerate(leaves_with_path):
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(params_template)[0]
+    path_index, parents = {}, {}
+    paths = []
+    for i, (path, leaf) in enumerate(leaves_with_path):
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                        for p in path)
         path_index[key] = i
+        paths.append((key, tuple(leaf.shape)))
+        parent = key.rsplit("/", 1)[0] if "/" in key else ""
+        parents.setdefault(parent, set()).add(key.rsplit("/", 1)[-1])
+    paths.sort(key=lambda ps: _natkey(ps[0]))
+
+    def flax_kind(path):
+        last = path.rsplit("/", 1)[-1]
+        parent = path.rsplit("/", 1)[0] if "/" in path else ""
+        if last == "bias":
+            return "gb" if "scale" in parents.get(parent, ()) else "b"
+        if last == "scale":
+            return "g"
+        return "w"
+
+    def torch_kind(name, arr):
+        last = name.rsplit(".", 1)[-1]
+        if last == "bias":
+            sib = sd.get(name[: -len("bias")] + "weight")
+            return "gb" if sib is not None and np.asarray(sib).ndim == 1 \
+                else "b"
+        return "g" if arr.ndim == 1 else "w"
+
+    def candidates(arr):
+        """Orientation candidates, priority order (first match wins)."""
+        if arr.ndim == 3:
+            a = np.transpose(arr, (2, 1, 0))        # conv (O,I,K)->(K,I,O)
+            out = [a]
+            if a.shape[0] == 1:
+                out.append(a[0])                    # 1x1 conv -> Dense (I,O)
+            out.append(np.transpose(arr, (2, 0, 1)))  # convT (I,O,K)->(K,I,O)
+            return out
+        if arr.ndim == 2:
+            return [np.transpose(arr), arr]         # linear (O,I)->(I,O); raw
+        if arr.ndim == 1:
+            return [arr]
+        return [np.transpose(arr, tuple(reversed(range(arr.ndim)))), arr]
+
     new_leaves = list(flat_leaves)
     hits, misses = 0, []
     for slot_pred, torch_pred in pairs:
-        slots = [(p, s) for p, s in flat if slot_pred(p)]
+        slots = [(p, s, flax_kind(p)) for p, s in paths if slot_pred(p)]
         used = set()
+        module_map = {}   # torch module prefix -> flax parent path
+
+        def pour_one(tname, arr, kind):
+            nonlocal hits
+            # sibling pairing first: a bias follows the flax module its
+            # weight landed in. Bias shapes are massively degenerate (every
+            # same-width conv/GN shares one), so ordered pairing alone can
+            # cross them whenever flax natural-sort order diverges from
+            # forward order; the weight's (usually distinct) shape anchors
+            # the module identity instead.
+            if tname.endswith(".bias"):
+                parent = module_map.get(tname[: -len(".bias")])
+                if parent is not None:
+                    slot = parent + "/bias"
+                    if slot not in used and path_index.get(slot) is not None \
+                            and tuple(arr.shape) == \
+                            tuple(flat_leaves[path_index[slot]].shape):
+                        used.add(slot)
+                        idx = path_index[slot]
+                        new_leaves[idx] = np.asarray(
+                            arr, dtype=flat_leaves[idx].dtype)
+                        hits += 1
+                        return True
+            for cand in candidates(arr):
+                match = next((p for p, s, k in slots
+                              if p not in used and k == kind
+                              and s == cand.shape), None)
+                if match is not None:
+                    used.add(match)
+                    idx = path_index[match]
+                    new_leaves[idx] = np.asarray(
+                        cand, dtype=flat_leaves[idx].dtype)
+                    hits += 1
+                    if tname.endswith(".weight"):
+                        module_map[tname[: -len(".weight")]] = \
+                            match.rsplit("/", 1)[0] if "/" in match else ""
+                    return True
+            return False
+
+        # two passes: weights/scales anchor modules, then biases follow
+        deferred = []
         for tname in sorted(sd, key=_natkey):
-            if not torch_pred(tname):
+            if not torch_pred(tname) or _is_buffer(tname):
                 continue
             arr = np.asarray(sd[tname])
             if arr.ndim < 1:
                 continue
-            arr = torch_to_flax_array(tname, arr)
-            match = next((p for p, s in slots
-                          if p not in used and s == arr.shape), None)
-            if match is None:
-                misses.append(tname)
+            if tname.endswith(".bias"):
+                deferred.append((tname, arr))
                 continue
-            used.add(match)
-            idx = path_index[match]
-            new_leaves[idx] = np.asarray(arr, dtype=flat_leaves[idx].dtype)
-            hits += 1
+            if not pour_one(tname, arr, torch_kind(tname, arr)):
+                misses.append(tname)
+        for tname, arr in deferred:
+            if not pour_one(tname, arr, torch_kind(tname, arr)):
+                misses.append(tname)
     return jax.tree_util.tree_unflatten(treedef, new_leaves), hits, misses
+
+
+_BUFFER_MARKERS = ("kernel_1d", "num_batches_tracked", "position_ids",
+                   "rng", "sobol", "pqmf")
+
+
+def _is_buffer(name: str) -> bool:
+    """Non-parameter buffers that must never enter the shape pour (fixed
+    resampler taps, BN counters, cached PQMF filters, RNG state)."""
+    low = name.lower()
+    return any(m in low for m in _BUFFER_MARKERS)
 
 
 def convert_rave_state_dict(sd: Dict[str, np.ndarray], params_template):
@@ -526,8 +629,21 @@ def infer_clap_cfgs(sd: Dict[str, np.ndarray], audio_default, text_default):
     if we is not None:
         we = np.asarray(we)
         t_kw["vocab"], t_kw["hidden"] = int(we.shape[0]), int(we.shape[1])
+        # head count is NOT recoverable from checkpoint shapes (attention
+        # tensors are head-count-agnostic); hidden//64 is an assumption
+        # (head_dim=64, true for RoBERTa-base) — say so when it matters,
+        # because a wrong guess pours cleanly but computes wrong attention
         if t_kw["hidden"] % 64 == 0:
             t_kw["heads"] = max(t_kw["hidden"] // 64, 1)
+            if t_kw["heads"] != text_default.heads:
+                print(f"infer_clap_cfgs: text heads GUESSED as hidden//64 = "
+                      f"{t_kw['heads']} (head_dim=64 assumption, unverifiable "
+                      f"from shapes)")
+        else:
+            print(f"infer_clap_cfgs: WARNING text hidden={t_kw['hidden']} not "
+                  f"divisible by 64; keeping default heads="
+                  f"{text_default.heads} — head_dim=64 assumption does not "
+                  f"hold, attention may be numerically wrong")
     pe_t = sd.get("text_branch.embeddings.position_embeddings.weight")
     if pe_t is not None:
         t_kw["max_pos"] = int(np.asarray(pe_t).shape[0])

@@ -786,7 +786,12 @@ class CLAPDAE(GivenModelClass):
 
         print(f"Decoding fake_latents of shape {fake_latents.shape} "
               f"to audio length {self.sample_size}")
-        # stage-1 latents via cond diffusion, then AE decode
+        # stage-1 latents via cond diffusion, then AE decode.
+        # The outer stage + AE decode are the memory-heavy part (the AE
+        # intermediates reach full audio rate): at the reference's max
+        # variation batch 8 (reference mirage.py:696) they exceed 16 GB
+        # HBM, so decode in micro-batches — batch items are independent
+        # through every op here, so chunking is numerically identical.
         s1_noise = jax.random.normal(
             self.next_key(),
             (fake_latents.shape[0], self.latent_diffae.latent_dim,
@@ -798,19 +803,27 @@ class CLAPDAE(GivenModelClass):
             s1_fn = lambda x, t, aux, cond: self.latent_diffae.apply(
                 self.diffae_params, x, t, cond, q_aux=aux,
                 method=LatentAudioDiffusionAutoencoder.diffusion_v_aux)
-            first_stage = vddim_sample(s1_fn, s1_noise, outer_steps, 0,
-                                       fake_latents, key=self.next_key(),
-                                       aux_mode=True)
+            outer = lambda n, z, key: vddim_sample(
+                s1_fn, n, outer_steps, 0, z, key=key, aux_mode=True)
         else:
             s1_fn = lambda x, t, cond: self.latent_diffae.apply(
                 self.diffae_params, x, t, cond,
                 method=LatentAudioDiffusionAutoencoder.diffusion_v)
-            first_stage = vddim_sample(s1_fn, s1_noise, outer_steps, 0,
-                                       fake_latents, key=self.next_key())
-        first_stage = jnp.clip(first_stage, -1, 1)
-        fakes = self.latent_diffae.apply(
-            self.diffae_params, first_stage,
-            method=LatentAudioDiffusionAutoencoder.decode_first_stage)
+            outer = lambda n, z, key: vddim_sample(
+                s1_fn, n, outer_steps, 0, z, key=key)
+
+        mdb = int(os.environ.get("AA_MIRAGE_DECODE_BATCH", 4))
+        bsz = fake_latents.shape[0]
+        parts = []
+        for i in range(0, bsz, max(mdb, 1)):
+            sl = slice(i, min(i + max(mdb, 1), bsz))
+            first_stage = outer(s1_noise[sl], fake_latents[sl],
+                                self.next_key())
+            first_stage = jnp.clip(first_stage, -1, 1)
+            parts.append(self.latent_diffae.apply(
+                self.diffae_params, first_stage,
+                method=LatentAudioDiffusionAutoencoder.decode_first_stage))
+        fakes = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         if flatten:
             b, d, n = fakes.shape
             fakes = jnp.swapaxes(fakes, 0, 1).reshape(d, b * n)

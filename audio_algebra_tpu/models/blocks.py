@@ -252,6 +252,11 @@ class GroupNorm1(nn.Module):
         of this output × margin, / 127), returns (out, amax,
         Int8Act(out8, q_emit_scale)) — the int8 twin quantised inside the
         same pass, replacing the next conv1's quantize_act."""
+        # fail fast on BOTH dispatch paths (the Pallas path asserts this
+        # inside groupnorm1_gelu_btc; the jnp fallback would otherwise
+        # silently ignore `residual` when quantize=True)
+        assert not (quantize and residual is not None), \
+            "turbo quantise is exclusive with residual"
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -427,7 +432,11 @@ class SelfAttention1d(nn.Module):
         b, t, c = x.shape
         h = nn.GroupNorm(num_groups=1)(x)
         qkv = nn.Dense(3 * c, name="qkv_proj")(h)
-        q, k, v = jnp.split(qkv.reshape(b, t, self.n_head, 3 * (c // self.n_head)), 3, axis=-1)
+        # torch chunk layout: channels = [q(all heads), k(all), v(all)] —
+        # matches the dance-diffusion qkv_proj so checkpoints pour verbatim
+        hd = c // self.n_head
+        q, k, v = [p.reshape(b, t, self.n_head, hd)
+                   for p in jnp.split(qkv, 3, axis=-1)]
         scale = 1.0 / math.sqrt(math.sqrt(c // self.n_head))
         att = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
                          preferred_element_type=jnp.float32)

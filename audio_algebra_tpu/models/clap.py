@@ -487,10 +487,11 @@ def tokenize(texts: Sequence[str], cfg: ClapTextCfg) -> np.ndarray:
     checkpoints still run — embeddings for these rows are then those of
     rare BPE tokens; exact text parity needs the real tokenizer files).
     """
+    fallback_reason = None
     try:  # pragma: no cover - exercised only where HF cache exists
-        import os
         from transformers import RobertaTokenizerFast
-        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        # local_files_only already forbids network access — no need to
+        # mutate process env (HF_HUB_OFFLINE) as a side effect
         tok = RobertaTokenizerFast.from_pretrained("roberta-base",
                                                    local_files_only=True)
         # guard against a mismatched local cache (e.g. a BERT vocab under
@@ -500,8 +501,10 @@ def tokenize(texts: Sequence[str], cfg: ClapTextCfg) -> np.ndarray:
         enc = tok(list(texts), padding=True, truncation=True,
                   max_length=cfg.max_len, return_tensors="np")
         return enc["input_ids"].astype(np.int32)
-    except Exception:
-        pass
+    except Exception as e:  # mirror load_ckpt's "Going with random weights"
+        fallback_reason = f"{type(e).__name__}: {e}"
+    print(f"tokenize: no usable local RoBERTa tokenizer ({fallback_reason}); "
+          "going with byte-level ids (text embeddings degrade to rare-BPE rows)")
     out = np.full((len(texts), cfg.max_len), cfg.pad_id, dtype=np.int32)
     for i, t in enumerate(texts):
         ids = [0] + [4 + b for b in t.encode("utf-8")[: cfg.max_len - 2]] + [2]

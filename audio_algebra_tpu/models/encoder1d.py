@@ -43,15 +43,23 @@ class Encoder1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         """(B, in_channels, T) -> (B, out_channels, T / prod(factors))."""
+        # explicit forward-order names (l000, l001, ...): converters pair
+        # tensors by natural-sort order, which must equal forward order
         h = jnp.swapaxes(x, -1, -2)
-        h = Conv1d(self.channels * self.multipliers[0], kernel_size=7)(h)
+        idx = 0
+        h = Conv1d(self.channels * self.multipliers[0], kernel_size=7,
+                   name=f"l{idx:03d}")(h)
+        idx += 1
         for i, (factor, blocks) in enumerate(zip(self.factors, self.num_blocks)):
             feats = self.channels * self.multipliers[i]
             for _ in range(blocks):
-                h = _ResnetBlock1d(feats)(h)
+                h = _ResnetBlock1d(feats, name=f"l{idx:03d}")(h)
+                idx += 1
             h = Conv1d(self.channels * self.multipliers[i + 1],
-                       kernel_size=2 * factor, stride=factor)(h)
-        h = nn.GroupNorm(num_groups=8)(h)
+                       kernel_size=2 * factor, stride=factor,
+                       name=f"l{idx:03d}")(h)
+            idx += 1
+        h = nn.GroupNorm(num_groups=8, name=f"l{idx:03d}")(h)
         h = nn.silu(h)
-        h = Conv1d(self.out_channels, kernel_size=3)(h)
+        h = Conv1d(self.out_channels, kernel_size=3, name=f"l{idx + 1:03d}")(h)
         return jnp.swapaxes(h, -1, -2)

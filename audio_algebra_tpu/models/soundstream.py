@@ -40,11 +40,15 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit forward-order names: converters pair tensors by natural-
+        # sort order, which must equal forward order (auto class names sort
+        # Conv1d_* before ResidualUnit_*, crossing the strided conv)
         in_feat = x.shape[-1]
-        for d in (1, 3, 9):
-            x = ResidualUnit(in_feat, d)(x)
+        for j, d in enumerate((1, 3, 9)):
+            x = ResidualUnit(in_feat, d, name=f"u{j}")(x)
         x = nn.elu(x)
-        return Conv1d(self.features, kernel_size=2 * self.stride, stride=self.stride)(x)
+        return Conv1d(self.features, kernel_size=2 * self.stride,
+                      stride=self.stride, name="u3")(x)
 
 
 class DecoderBlock(nn.Module):
@@ -54,10 +58,13 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.elu(x)
+        # transpose_kernel=True == torch conv_transpose1d semantics (flipped
+        # (K, Cout, Cin) kernel): real checkpoints pour without resampling
+        # artifacts; verified exact vs torch in tests/test_convert_parity.py
         x = nn.ConvTranspose(self.features, (2 * self.stride,), strides=(self.stride,),
-                             padding="SAME")(x)
-        for d in (1, 3, 9):
-            x = ResidualUnit(self.features, d)(x)
+                             padding="SAME", transpose_kernel=True, name="u0")(x)
+        for j, d in enumerate((1, 3, 9)):
+            x = ResidualUnit(self.features, d, name=f"u{j + 1}")(x)
         return x
 
 
@@ -72,11 +79,13 @@ class SoundStreamXLEncoder(nn.Module):
     @nn.compact
     def __call__(self, audio):
         x = jnp.swapaxes(audio, -1, -2)                  # -> (B, T, C)
-        x = Conv1d(self.capacity, kernel_size=7)(x)
-        for mult, stride in zip(self.c_mults, self.strides):
-            x = EncoderBlock(self.capacity * mult, stride)(x)
+        x = Conv1d(self.capacity, kernel_size=7, name="l000")(x)
+        i = 0
+        for i, (mult, stride) in enumerate(zip(self.c_mults, self.strides)):
+            x = EncoderBlock(self.capacity * mult, stride,
+                             name=f"l{i + 1:03d}")(x)
         x = nn.elu(x)
-        x = Conv1d(self.latent_dim, kernel_size=3)(x)
+        x = Conv1d(self.latent_dim, kernel_size=3, name=f"l{i + 2:03d}")(x)
         return jnp.swapaxes(x, -1, -2)                   # -> (B, latent, T')
 
 
@@ -91,11 +100,14 @@ class SoundStreamXLDecoder(nn.Module):
     @nn.compact
     def __call__(self, latents):
         x = jnp.swapaxes(latents, -1, -2)
-        x = Conv1d(self.capacity * self.c_mults[-1], kernel_size=7)(x)
-        for mult_next, stride in zip(
+        x = Conv1d(self.capacity * self.c_mults[-1], kernel_size=7,
+                   name="l000")(x)
+        i = 0
+        for i, (mult_next, stride) in enumerate(zip(
             list(self.c_mults[-2::-1]) + [1], self.strides[::-1]
-        ):
-            x = DecoderBlock(self.capacity * mult_next, stride)(x)
+        )):
+            x = DecoderBlock(self.capacity * mult_next, stride,
+                             name=f"l{i + 1:03d}")(x)
         x = nn.elu(x)
-        x = Conv1d(self.out_channels, kernel_size=7)(x)
+        x = Conv1d(self.out_channels, kernel_size=7, name=f"l{i + 2:03d}")(x)
         return jnp.swapaxes(x, -1, -2)

@@ -143,7 +143,12 @@ def main():
     # printed below). The bf16 line rides along as a secondary. --quick
     # (tiny CI config) keeps bf16 as headline — its shapes don't engage
     # the int8 path.
-    turbo_headline = not args.quick and os.environ.get("AA_TURBO_INT8") != "1"
+    # turbo_batch_ok gate: below batch 16 every int8 site falls back to
+    # bf16, so a second timed run would silently measure the bf16 path
+    # under an "_int8" label — skip it rather than emit a mislabel.
+    from audio_algebra_tpu.models.blocks import turbo_batch_ok
+    turbo_headline = (not args.quick and turbo_batch_ok(args.batch)
+                      and os.environ.get("AA_TURBO_INT8") != "1")
     if turbo_headline:
         os.environ["AA_TURBO_INT8"] = "1"
         try:
@@ -166,10 +171,11 @@ def main():
         print("# " + json.dumps(bf16_line), file=sys.stderr)
         dt_head, steps_head = dt_t, args.steps
     else:
-        # if the turbo env is already set, the pipeline above WAS int8 —
-        # label the metric accordingly so cross-run tracking never mixes
-        # precision configs under one name
-        suffix = "_int8" if os.environ.get("AA_TURBO_INT8") == "1" else ""
+        # if the turbo env is already set AND the batch engages it, the
+        # pipeline above WAS int8 — label the metric accordingly so
+        # cross-run tracking never mixes precision configs under one name
+        suffix = "_int8" if (os.environ.get("AA_TURBO_INT8") == "1"
+                             and turbo_batch_ok(args.batch)) else ""
         bf16_line["metric"] = \
             f"rt_factor_encode_matherm_decode{args.steps}{suffix}"
         print(json.dumps(bf16_line))

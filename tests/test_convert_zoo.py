@@ -33,8 +33,11 @@ def _flat_dict(tree):
 
 def _synthetic_sd(params, top_map, rng, ema_prefix=None):
     """Build {torch_name: torch-layout array} + {flax_path: target} from a
-    flax template. top_map: flax_top_module -> torch prefix."""
-    sd, target = {}, {}
+    flax template. top_map: flax_top_module -> torch prefix. Names are
+    grouped per module (a conv's weight/bias share a stem; a norm's scale
+    becomes a 1-D .weight with its bias as sibling) so the kind-aware pour
+    reads them like a real torch state dict."""
+    sd, target, modules = {}, {}, {}
     for path, shape in _flat_params(params):
         parts = path.split("/")
         top = parts[1] if parts[0] == "params" else parts[0]
@@ -42,11 +45,18 @@ def _synthetic_sd(params, top_map, rng, ema_prefix=None):
             continue
         val = rng.standard_normal(shape).astype(np.float32)
         target[path] = val
+        modules.setdefault("/".join(parts[:-1]), {})[parts[-1]] = val
+    for parent, leaves in modules.items():
+        parts = parent.split("/")
+        mods = parts[1:] if parts[0] == "params" else parts
+        top, rest = mods[0], mods[1:]
         prefix = top_map[top]
         if ema_prefix and top in ema_prefix:
             prefix = ema_prefix[top]
-        suffix = "weight" if len(shape) >= 2 else "bias"
-        sd[f"{prefix}.{'.'.join(parts[1:])}.{suffix}"] = _torch_layout(val)
+        stem = ".".join([prefix] + rest)
+        for leafname, val in leaves.items():
+            suffix = "bias" if leafname == "bias" else "weight"
+            sd[f"{stem}.{suffix}"] = _torch_layout(val)
     return sd, target
 
 
@@ -146,7 +156,7 @@ def test_rave_torchscript_load_and_pour(tmp_path):
     # build a scripted torch module carrying encoder./decoder. parameters
     # in torch layout, with values we can recognise after the pour
     rng = np.random.default_rng(11)
-    tensors, target = {}, {}
+    tensors, target, modules = {}, {}, {}
     for path, shape in _flat_params(params):
         parts = path.split("/")
         side = "encoder" if parts[1].startswith("enc") else \
@@ -155,18 +165,31 @@ def test_rave_torchscript_load_and_pour(tmp_path):
             continue
         val = rng.standard_normal(shape).astype(np.float32)
         target[path] = val
-        suffix = "weight" if len(shape) >= 2 else "bias"
-        tname = f"{side}.{'_'.join(parts[1:])}.{suffix}"
-        tensors[tname] = _torch_layout(val)
+        modules.setdefault((side, "/".join(parts[1:-1])), {})[parts[-1]] = val
+    for (side, stem), leaves in modules.items():
+        for leafname, val in leaves.items():
+            suffix = "bias" if leafname == "bias" else "weight"
+            tensors[f"{side}.{stem.replace('/', '_')}.{suffix}"] = \
+                _torch_layout(val)
+
+    class Leaf(torch.nn.Module):
+        def forward(self, x):
+            return x
 
     class Half(torch.nn.Module):
+        """One submodule per weight/bias stem, so the exported state dict
+        carries real `<module>.weight` / `<module>.bias` names."""
         def __init__(self, prefix):
             super().__init__()
             for name, arr in tensors.items():
                 if name.startswith(prefix + "."):
-                    pname = name[len(prefix) + 1:].replace(".", "_")
-                    self.register_parameter(
-                        pname, torch.nn.Parameter(torch.from_numpy(arr)))
+                    stem, suffix = name[len(prefix) + 1:].rsplit(".", 1)
+                    sub = getattr(self, stem, None)
+                    if sub is None:
+                        sub = Leaf()
+                        setattr(self, stem, sub)
+                    sub.register_parameter(
+                        suffix, torch.nn.Parameter(torch.from_numpy(arr)))
 
         def forward(self, x):
             return x

@@ -114,10 +114,10 @@ class TestTurboInt8:
         and produce no new param leaves."""
         import jax
         import jax.numpy as jnp
-        from audio_algebra_tpu.models.unet1d import _Level
+        from audio_algebra_tpu.models.unet1d import _Stack3
         from audio_algebra_tpu.utils.params import fast_random_params
 
-        lvl = _Level(256, 256, attn=False)
+        lvl = _Stack3(256, 256, attn=False)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 256)) * 0.6
         params = fast_random_params(lvl, 1, jnp.zeros((1, 8, 256)))
         ref, a_ref, q_ref = lvl.apply(params, x)
