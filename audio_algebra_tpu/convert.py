@@ -300,7 +300,8 @@ def _pour_by_predicate(sd: Dict[str, np.ndarray], params_template,
 
 
 _BUFFER_MARKERS = ("kernel_1d", "num_batches_tracked", "position_ids",
-                   "rng", "sobol", "pqmf")
+                   "rng", "sobol", "pqmf", "latent_pca", "latent_mean",
+                   "fidelity", "target_size", "receptive_field")
 
 
 def _is_buffer(name: str) -> bool:
@@ -310,11 +311,63 @@ def _is_buffer(name: str) -> bool:
     return any(m in low for m in _BUFFER_MARKERS)
 
 
+def fuse_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fuse torch weight-norm parameter pairs into plain weights.
+
+    RAVE wraps every conv in `torch.nn.utils.weight_norm` (normalization
+    mode 'weight_norm' in v2.gin), so its state dicts carry
+    `<stem>.weight_g` + `<stem>.weight_v` (or, with the newer
+    parametrize API, `<stem>.parametrizations.weight.original0/1`).
+    W = g * v / ||v|| with the norm over all axes but 0 (torch dim=0
+    default). Unrelated keys pass through untouched.
+    """
+    out: Dict[str, np.ndarray] = {}
+    pairs: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        if k.endswith(".weight_g") or k.endswith(".weight_v"):
+            stem, which = k[: -len(".weight_x")], k[-1]
+            pairs.setdefault(stem, {})[which] = v
+        elif ".parametrizations.weight.original" in k:
+            stem = k.split(".parametrizations.weight.original")[0]
+            which = "g" if k.endswith("0") else "v"
+            pairs.setdefault(stem, {})[which] = v
+        else:
+            out[k] = v
+    for stem, gv in pairs.items():
+        if "g" in gv and "v" in gv:
+            v = np.asarray(gv["v"], dtype=np.float32)
+            g = np.asarray(gv["g"], dtype=np.float32)
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt((v * v).sum(axis=axes, keepdims=True)) + 1e-12
+            out[stem + ".weight"] = (g * v / norm).astype(np.float32)
+        else:  # stray half: pass through so the miss is visible
+            for which, v in gv.items():
+                out[f"{stem}.weight_{which}"] = v
+    return out
+
+
+def extract_rave_latent_transform(sd: Dict[str, np.ndarray]):
+    """(latent_pca, latent_mean) buffers from a RAVE TorchScript export,
+    or (None, None). Exported RAVE models rotate latents by a learned PCA
+    (and crop to the informative dims); the wrapper applies z' = P(z - mu)
+    on encode and its inverse on decode when these are present."""
+    pca = mean = None
+    for k, v in sd.items():
+        if k.endswith("latent_pca"):
+            pca = np.asarray(v, dtype=np.float32)
+        elif k.endswith("latent_mean"):
+            mean = np.asarray(v, dtype=np.float32)
+    return pca, mean
+
+
 def convert_rave_state_dict(sd: Dict[str, np.ndarray], params_template):
     """RAVE state dict (from a .ckpt or a TorchScript archive's
-    state_dict()). Buckets: encoder.* -> enc_* params, decoder.* -> dec_*
-    (IRCAM RAVE names its halves `encoder`/`decoder`)."""
+    state_dict()). Weight-norm pairs are fused first; buckets:
+    encoder.* -> enc* params, decoder.* -> dec* (IRCAM RAVE names its
+    halves `encoder`/`decoder`; the variational wrapper nests the conv
+    net as `encoder.encoder.net`, which the prefix match still catches)."""
     sd = strip_prefixes(sd, ("model.", "module.", "_rave.", "pretrained."))
+    sd = fuse_weight_norm(sd)
     new, hits, misses = _pour_by_predicate(
         sd, params_template,
         [(lambda p: p.split("/")[1].startswith("enc"),

@@ -585,14 +585,19 @@ class DMAE1d(GivenModelClass):
 
 class RAVEWrapper(GivenModelClass):
     """RAVE wrapper (reference given_models.py:511-557). The reference
-    tolerates a missing `rave` package (got_rave=False no-op, :19-25); here
-    a compact JAX RAVE-style multiband VAE stands in so the wrapper is
-    always functional, and TorchScript checkpoints are detected but not
-    importable (documented limitation)."""
+    tolerates a missing `rave` package (got_rave=False no-op, :19-25) and
+    loads IRCAM TorchScript exports; here models.rave rebuilds the RAVE
+    v2 architecture itself (the `v2.gin` family the reference's
+    config_path default points at), so .ts/.ckpt state dicts pour
+    tensor-for-tensor (weight-norm fused, exported latent-PCA applied)
+    and the wrapper is always functional, checkpoint or not."""
 
     def __init__(self, pretrained_name: str = '', checkpoint_file: str = 'percussion',
                  config_path: str = './v2.gin', debug: bool = True,
-                 latent_dim: int = 16, n_bands: int = 16, **kwargs):
+                 latent_dim: int = 128, n_bands: int = 16, **model_kwargs):
+        kwargs = {k: model_kwargs.pop(k)
+                  for k in ("zero_pad", "make_sizes_match", "ckpt_info",
+                            "seed") if k in model_kwargs}
         super().__init__(**kwargs)
         self.config_path = config_path
         self.debug = debug
@@ -603,7 +608,8 @@ class RAVEWrapper(GivenModelClass):
                           'ckpt_hash': '', 'gdrive_path': '',
                           'ckpt_path': f'{self.ckpt_dir}/{checkpoint_file}'}
         from .models.rave import RAVE
-        self.model = RAVE(latent_dim=latent_dim, n_bands=n_bands)
+        self.model = RAVE(latent_dim=latent_dim, n_bands=n_bands,
+                          **model_kwargs)
         self.params = None
 
     def _ensure_params(self, example_len: int = 65536):
@@ -636,9 +642,23 @@ class RAVEWrapper(GivenModelClass):
             print(f"Sorry, exception = {e}. Going with random weights")
         if sd:
             print(f"{self.name}: loaded state dict ({len(sd)} tensors)")
-            from .convert import convert_rave_state_dict
+            from .convert import (convert_rave_state_dict,
+                                  extract_rave_latent_transform)
             self.params, hits, _ = convert_rave_state_dict(sd, self.params)
+            # exported RAVE models rotate latents by a learned PCA and
+            # crop to the informative dims; mirror that transform so
+            # encode() latents match the TorchScript model's
+            pca, mean = extract_rave_latent_transform(sd)
+            if pca is not None and mean is not None \
+                    and pca.shape[-1] == self.model.latent_dim:
+                self.latent_pca = jnp.asarray(pca)
+                self.latent_mean = jnp.asarray(mean)
+                print(f"{self.name}: applying exported latent PCA "
+                      f"({pca.shape[0]} of {pca.shape[1]} dims)")
             self._jit_cache.clear()
+
+    latent_pca = None
+    latent_mean = None
 
     def encode(self, waveform, **kwargs):
         waveform = jnp.asarray(waveform)
@@ -647,9 +667,20 @@ class RAVEWrapper(GivenModelClass):
         self._ensure_params(waveform.shape[-1])
         fn = self._cached_jit(f"enc{waveform.shape}", lambda p, x: self.model.apply(
             p, x, method=type(self.model).encode))
-        return fn(self.params, waveform)
+        z = fn(self.params, waveform)
+        if self.latent_pca is not None:
+            z = jnp.einsum('ij,bjt->bit', self.latent_pca,
+                           z - self.latent_mean[None, :, None])
+        return z
 
     def decode(self, reps, **kwargs):
+        reps = jnp.asarray(reps)
+        if self.latent_pca is not None:
+            # PCA rows are orthonormal: inverse = transpose (+ mean).
+            # A cropped export (rows < latent_dim) zero-fills the
+            # uninformative dims, exactly like the .ts decode path.
+            reps = jnp.einsum('ji,bjt->bit', self.latent_pca, reps) \
+                + self.latent_mean[None, :, None]
         fn = self._cached_jit(f"dec{reps.shape}", lambda p, z: self.model.apply(
             p, z, method=type(self.model).decode))
         return fn(self.params, reps)

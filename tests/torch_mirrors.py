@@ -375,3 +375,188 @@ class LatentAudioDiffusionAutoencoder(nn.Module):
     def encode(self, reals):
         first = self.autoencoder.encode(reals)
         return torch.tanh(self.latent_encoder_ema(first))
+
+
+# ----------------------------------------------------------- RAVE v2 mirror
+
+def _wn(module):
+    """RAVE's normalization() — torch weight_norm (v2.gin mode
+    'weight_norm'), so mirror state dicts carry weight_g/weight_v pairs
+    the converter must fuse."""
+    return torch.nn.utils.weight_norm(module)
+
+
+class RaveDilatedUnit(nn.Module):
+    def __init__(self, dim: int, kernel_size: int, dilation: int):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.LeakyReLU(0.2),
+            _wn(nn.Conv1d(dim, dim, kernel_size, dilation=dilation,
+                          padding=dilation * (kernel_size // 2))),
+            nn.LeakyReLU(0.2),
+            _wn(nn.Conv1d(dim, dim, 1)),
+        )
+
+    def forward(self, x):
+        return x + self.net(x)
+
+
+class RaveEncoderV2(nn.Module):
+    def __init__(self, data_size, capacity, ratios, latent_size, dilations,
+                 n_out=2, kernel_size=3):
+        super().__init__()
+        net = [_wn(nn.Conv1d(data_size, capacity, 2 * kernel_size + 1,
+                             padding=kernel_size))]
+        ch = capacity
+        for r, dils in zip(ratios, dilations):
+            for d in dils:
+                net.append(RaveDilatedUnit(ch, kernel_size, d))
+            net.append(nn.LeakyReLU(0.2))
+            net.append(_wn(nn.Conv1d(ch, 2 * ch, 2 * r, stride=r,
+                                     padding=r // 2)))
+            ch *= 2
+        net += [nn.LeakyReLU(0.2),
+                _wn(nn.Conv1d(ch, n_out * latent_size, 2 * kernel_size + 1,
+                              padding=kernel_size))]
+        self.net = nn.Sequential(*net)
+
+    def forward(self, x):
+        return self.net(x)
+
+
+def _amp_to_ir_torch(amp, target_size: int):
+    ir = torch.fft.irfft(torch.complex(amp, torch.zeros_like(amp)))
+    fs = ir.shape[-1]
+    ir = torch.roll(ir, fs // 2, -1)
+    n = torch.arange(fs, dtype=ir.dtype)
+    win = 0.5 - 0.5 * torch.cos(2 * math.pi * n / fs)  # periodic Hann
+    ir = ir * win
+    ir = F.pad(ir, (0, int(target_size) - fs))
+    return torch.roll(ir, -(fs // 2), -1)
+
+
+def _fft_convolve_torch(signal, kernel):
+    n = signal.shape[-1]
+    sig = F.pad(signal, (0, n))
+    ker = F.pad(kernel, (n, 0))
+    out = torch.fft.irfft(torch.fft.rfft(sig) * torch.fft.rfft(ker))
+    return out[..., out.shape[-1] // 2:]
+
+
+def _mod_sigmoid(x):
+    return 2.0 * torch.sigmoid(x) ** 2.3 + 1e-7
+
+
+class _SamePad1d(nn.Module):
+    """Replicates XLA SAME padding (possibly asymmetric, low-half first)
+    so the mirror's strided k=3 noise convs align bit-for-bit with the
+    flax side — padding is a forward convention, not a state-dict
+    property, so this costs the pour nothing."""
+    def __init__(self, kernel_size: int, stride: int):
+        super().__init__()
+        self.k, self.s = kernel_size, stride
+
+    def forward(self, x):
+        t = x.shape[-1]
+        out = -(-t // self.s)
+        total = max((out - 1) * self.s + self.k - t, 0)
+        return F.pad(x, (total // 2, total - total // 2))
+
+
+class RaveNoiseGenerator(nn.Module):
+    def __init__(self, in_size, data_size, ratios=(4, 4, 4), noise_bands=5):
+        super().__init__()
+        chans = [in_size] * len(ratios) + [data_size * noise_bands]
+        net = []
+        for i, r in enumerate(ratios):
+            net.append(_SamePad1d(3, r))
+            net.append(_wn(nn.Conv1d(chans[i], chans[i + 1], 3, stride=r)))
+            if i != len(ratios) - 1:
+                net.append(nn.LeakyReLU(0.2))
+        self.net = nn.Sequential(*net)
+        self.data_size = data_size
+        self.target_size = math.prod(ratios)
+
+    def forward(self, x, noise=None):
+        amp = _mod_sigmoid(self.net(x) - 5.0)
+        amp = amp.permute(0, 2, 1)
+        b, tn, _ = amp.shape
+        amp = amp.reshape(b, tn, self.data_size, -1)
+        ir = _amp_to_ir_torch(amp, self.target_size)
+        if noise is None:
+            noise = torch.rand_like(ir) * 2 - 1
+        out = _fft_convolve_torch(noise, ir).permute(0, 2, 1, 3)
+        return out.reshape(b, self.data_size, -1)
+
+
+class RaveGeneratorV2(nn.Module):
+    def __init__(self, data_size, capacity, ratios, latent_size, dilations,
+                 kernel_size=3, amplitude_modulation=True, use_noise=True,
+                 noise_ratios=(4, 4, 4), noise_bands=5):
+        super().__init__()
+        ch = capacity * 2 ** len(ratios)
+        net = [_wn(nn.Conv1d(latent_size, ch, 2 * kernel_size + 1,
+                             padding=kernel_size))]
+        for r, dils in zip(ratios[::-1], dilations[::-1]):
+            net.append(nn.LeakyReLU(0.2))
+            net.append(_wn(nn.ConvTranspose1d(ch, ch // 2, 2 * r, stride=r,
+                                              padding=r // 2)))
+            ch //= 2
+            for d in dils:
+                net.append(RaveDilatedUnit(ch, kernel_size, d))
+        self.net = nn.Sequential(*net)
+        self.amplitude_modulation = amplitude_modulation
+        self.use_noise = use_noise
+        self.waveform_module = _wn(nn.Conv1d(
+            ch, 2 * data_size if amplitude_modulation else data_size,
+            2 * kernel_size + 1, padding=kernel_size))
+        if use_noise:
+            self.noise_module = RaveNoiseGenerator(
+                ch, data_size, ratios=noise_ratios, noise_bands=noise_bands)
+
+    def forward(self, z, noise=None):
+        x = self.net(z)
+        wav = self.waveform_module(F.leaky_relu(x, 0.2))
+        if self.amplitude_modulation:
+            wav, amp = wav.chunk(2, dim=1)
+            wav = wav * _mod_sigmoid(amp)
+        bands = torch.tanh(wav)
+        if self.use_noise:
+            bands = bands + self.noise_module(x, noise=noise)
+        return bands
+
+
+class RaveV2(nn.Module):
+    """Band-level RAVE v2 (PQMF front-end lives outside: the real model's
+    pqmf filters are buffers the converter skips)."""
+    def __init__(self, data_size=16, capacity=64, ratios=(4, 4, 4, 2),
+                 latent_size=128, kernel_size=3, dilations=None,
+                 noise_ratios=(4, 4, 4), noise_bands=5,
+                 amplitude_modulation=True, use_noise=True):
+        super().__init__()
+        dils = tuple(dilations) if dilations is not None \
+            else tuple((1, 3, 9) for _ in ratios)
+
+        class _Variational(nn.Module):
+            def __init__(self, inner):
+                super().__init__()
+                self.encoder = inner
+
+            def forward(self, x):
+                return self.encoder(x)
+
+        self.encoder = _Variational(RaveEncoderV2(
+            data_size, capacity, ratios, latent_size, dils,
+            n_out=2, kernel_size=kernel_size))
+        self.decoder = RaveGeneratorV2(
+            data_size, capacity, ratios, latent_size, dils,
+            kernel_size=kernel_size,
+            amplitude_modulation=amplitude_modulation, use_noise=use_noise,
+            noise_ratios=noise_ratios, noise_bands=noise_bands)
+
+    def encode_bands(self, bands):
+        mean, _scale = self.encoder(bands).chunk(2, dim=1)
+        return mean
+
+    def decode_bands(self, z, noise=None):
+        return self.decoder(z, noise=noise)
