@@ -25,7 +25,8 @@ class RunLogger:
         self._fh = open(self.dir / "log.jsonl", "a")
         self._step = 0
         self.wandb = None
-        if use_wandb and os.environ.get("WANDB_API_KEY"):
+        if use_wandb and (os.environ.get("WANDB_API_KEY")
+                          or os.environ.get("WANDB_MODE")):
             try:
                 import wandb
                 self.wandb = wandb.init(project=project, name=name, config=config)
@@ -47,12 +48,68 @@ class RunLogger:
         self._step = step + 1
 
     def log_audio(self, name: str, audio, sample_rate: int, step: int = 0):
+        """Save a wav locally; forward as wandb.Audio when active
+        (reference DemoCallback wandb.Audio, train_aa_effects.py:160)."""
         from .audio_io import save_audio
         import numpy as np
 
-        path = self.dir / f"{name}_{step:08d}.wav"
+        path = self.dir / f"{name.replace('/', '_')}_{step:08d}.wav"
         save_audio(str(path), np.clip(np.asarray(audio), -1, 1), sample_rate)
-        self.log({name: str(path)}, step=step)
+        payload = str(path)
+        if self.wandb is not None:
+            import wandb
+            payload = wandb.Audio(str(path), sample_rate=sample_rate)
+        self.log({name: payload}, step=step)
+        return str(path)
+
+    def log_image(self, name: str, image, step: int = 0):
+        """image: (H, W[, C]) array or an image file path; forwarded as
+        wandb.Image when active (reference token-spectrogram images,
+        train_aa_effects.py:150-158)."""
+        payload = image if isinstance(image, str) else None
+        if payload is None:
+            import numpy as np
+            from .audio_io import save_image
+            payload = save_image(
+                np.asarray(image),
+                str(self.dir / f"{name.replace('/', '_')}_{step:08d}.png"))
+        if self.wandb is not None:
+            import wandb
+            payload = wandb.Image(payload)
+        self.log({name: payload}, step=step)
+        return payload if isinstance(payload, str) else None
+
+    def log_table(self, name: str, columns, rows, step: int = 0):
+        """Tabular demo data; wandb.Table when active (reference
+        embeddings_table, train_aa_effects.py:144-149); CSV always."""
+        import csv
+
+        path = self.dir / f"{name.replace('/', '_')}_{step:08d}.csv"
+        with open(path, "w", newline="") as f:
+            wr = csv.writer(f)
+            wr.writerow(columns)
+            wr.writerows(rows)
+        payload = str(path)
+        if self.wandb is not None:
+            import wandb
+            payload = wandb.Table(columns=list(columns),
+                                  data=[list(r) for r in rows])
+        self.log({name: payload}, step=step)
+        return str(path)
+
+    def log_point_cloud(self, name: str, points, step: int = 0):
+        """(N, 3..6) point cloud; wandb.Object3D when active (reference
+        pca_point_cloud, train_aa_effects.py:151)."""
+        import numpy as np
+
+        pts = np.asarray(points)
+        path = self.dir / f"{name.replace('/', '_')}_{step:08d}.npy"
+        np.save(path, pts)
+        payload = str(path)
+        if self.wandb is not None:
+            import wandb
+            payload = wandb.Object3D(pts)
+        self.log({name: payload}, step=step)
         return str(path)
 
     def push_config(self, args):

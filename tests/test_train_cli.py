@@ -156,7 +156,7 @@ def test_train_effects_demo_media(train_env, tmp_path):
     assert list(d.glob("demo_za2_guess_*.wav")), "no decoded algebra audio"
     assert list(d.glob("demo_za2_*.wav"))
     assert list(d.glob("tokens_za1_*.png")) or list(d.glob("tokens_za1_*.npy"))
-    assert list(d.glob("pca_cloud_*.npy"))
+    assert list(d.glob("*pca_cloud_*.npy"))
 
 
 def test_train_mixer_demo_media(train_env, tmp_path):

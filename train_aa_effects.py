@@ -35,10 +35,12 @@ def demo_log(logger, aa, given_model, val_batch, step: int, sr: int,
         archive = aa_effects.do_mixing(val_batch, given_model, aa, None)
         zs = archive["zs"]
         names = ["za1", "zb1", "za2", "zb2"]
-        table = embeddings_table(zs, names=names)
+        table = embeddings_table(zs, names=names)   # {name: stats dict}
+        cols = ["name"] + list(next(iter(table.values())).keys())
+        rows = [[n] + [s[c] for c in cols[1:]] for n, s in table.items()]
+        logger.log_table("demo/emb_stats", cols, rows, step=step)
         cloud = pca_point_cloud(jnp.concatenate(zs, axis=0))
-        np.save(logger.dir / f"pca_cloud_{step:08d}.npy", cloud)
-        logs = {"demo/emb_stats": table}
+        logger.log_point_cloud("demo/pca_cloud", cloud, step=step)
         # token spectrograms (reference :158-166)
         for name, z in zip(names, zs):
             img = tokens_spectrogram_image(z)
@@ -46,17 +48,16 @@ def demo_log(logger, aa, given_model, val_batch, step: int, sr: int,
             if path is None:      # no PIL/matplotlib: keep the raw array
                 path = str(logger.dir / f"tokens_{name}_{step:08d}.npy")
                 np.save(path, img)
-            logs[f"demo/tokens_{name}"] = path
+                logger.log({f"demo/tokens_{name}": path}, step=step)
+            else:
+                logger.log_image(f"demo/tokens_{name}", path, step=step)
         # decoded audio: the algebra guess and the target (reference :168-183)
         za1, zb1, za2, zb2 = zs
         za2_guess = zb2 - zb1 + za1
         for name, z in (("za2_guess", za2_guess), ("za2", za2)):
             y = aa.decode(z[:1])                     # h^-1 back to y-space
             fake = given_model.decode(y, demo_steps)
-            path = str(logger.dir / f"demo_{name}_{step:08d}.wav")
-            save_audio(path, np.clip(np.asarray(fake), -1, 1), sr)
-            logs[f"demo/{name}"] = path
-        logger.log(logs, step=step)
+            logger.log_audio(f"demo/{name}", np.asarray(fake), sr, step=step)
     except Exception as e:
         print(f"demo_log error (non-fatal): {e}")
 
