@@ -526,7 +526,7 @@ def _rows_launch(xt, scale, bias, residual, quant_scale, *, gelu, eps, b,
 # Per-grid-step tile cap (elements). 512 KiB bf16 tiles double-buffer
 # comfortably in VMEM (the 16 MiB scoped-vmem limit OOMs at 1M-elem tiles
 # in the 3-operand residual variant); swept in-context via AA_GN_TILE by
-# tools/profile_unet_turbo.py — standalone microbenches are invalid here
+# tools/profile.py forward — standalone microbenches are invalid here
 # because outside a conv-layout context the (T,B,C) view is a real
 # transpose, not a bitcast.
 import os as _os

@@ -52,6 +52,11 @@ def main():
     p.add_argument("--fx2fx", default="", help="'EffectA,EffectB' to decode a "
                    "transformed example (reference cells 146-169)")
     p.add_argument("--fx2fx-steps", type=int, default=35)
+    p.add_argument("--umap", action="store_true",
+                   help="parametric-UMAP 2-D maps, aligned across knob "
+                        "sweeps (reference effects_explorer.ipynb cells "
+                        "57-134; umap_param.py)")
+    p.add_argument("--umap-steps", type=int, default=1500)
     args = p.parse_args()
 
     import jax
@@ -104,6 +109,17 @@ def main():
     with open(out / "labels.json", "w") as f:
         json.dump(labels, f)
     print(f"wrote embeddings + PCA cloud + {len(geo['dirs'])} effect directions")
+
+    if args.umap:
+        # one shared parametric map over every (clip x knob) time-mean
+        # embedding -> aligned 2-D maps per effect sweep (the AlignedUMAP
+        # study, reference cells 57-134)
+        from audio_algebra_tpu.umap_param import aligned_sweep_maps
+        sweeps = {name: e.mean(axis=-1).reshape(-1, e.shape[2])
+                  for name, e in embs.items()}      # (clips*knobs, d)
+        maps, _pu = aligned_sweep_maps(sweeps, steps=args.umap_steps)
+        np.savez(out / "umap_maps.npz", **maps)
+        print(f"wrote aligned parametric-UMAP maps for {len(maps)} sweeps")
 
     if args.fx2fx:
         a, b = [s.strip() for s in args.fx2fx.split(",")]

@@ -173,7 +173,8 @@ def test_effects_explorer_e2e(script_corpus):
         [sys.executable, "/root/repo/effects_explorer.py",
          "--source-dir", str(corpus), "--out-dir", str(out),
          "--chunk-size", "2048", "--knob-steps", "2", "--max-clips", "2",
-         "--effects", "Clean,Gain", "--model-config", str(mc)],
+         "--effects", "Clean,Gain", "--model-config", str(mc),
+         "--umap", "--umap-steps", "60"],
         capture_output=True, text=True, timeout=600,
         env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"))
     assert r.returncode == 0, r.stderr[-1200:]
@@ -182,3 +183,7 @@ def test_effects_explorer_e2e(script_corpus):
     assert (out / "pca_cloud.npy").exists()
     dirs = np.load(out / "effect_dirs.npz")
     assert "Clean->Gain" in dirs.files          # FX2FX displacement vector
+    maps = np.load(out / "umap_maps.npz")       # aligned parametric-UMAP
+    assert set(maps.files) == {"Clean", "Gain"}
+    for m in maps.files:
+        assert maps[m].shape[-1] == 2 and np.isfinite(maps[m]).all()

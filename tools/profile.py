@@ -1,0 +1,287 @@
+#!/usr/bin/env python
+"""The profiler for this repo's hot paths — one tool, subcommands.
+
+Replaces the round-1 profile_unet{,2..7,_turbo}.py / profile_gn_ab.py
+family (measurement history preserved in docs/performance.md). Ground
+rules learned there: single-dispatch timings over the axon relay carry a
+~20-30 ms fetch floor, so `forward` times the forward inside a fori_loop
+(amortized, trustworthy to <5%); `trace` captures xprof and prints XLA's
+own per-op accounting (the only per-op ground truth).
+
+Targets (`--model`):
+  dvae-unet   decode-UNet forward, the Destructo hot loop (B=16 default)
+  dvae-enc    SoundStreamXL encoder (corpus-extraction config)
+  ldm         MIRAGE inner UNetCFG1d forward incl. CFG (B=1 default)
+  outer       MIRAGE outer stacked-diffae diffusion_v (B=1 default)
+
+Subcommands:
+  forward     amortized ms/forward via an N-iteration on-device loop
+  trace       xprof trace (forward or a sampler loop via --steps) ->
+              /tmp/aa_hlo_stats.out + a per-category summary
+  levels      per-level cost of the dvae decode UNet by depth truncation
+
+Env knobs still apply (AA_TURBO_INT8, AA_GN_*), so A/B runs are two
+invocations with different envs.
+"""
+import argparse
+import collections
+import glob
+import json
+import shutil
+import time
+
+
+def _setup_jax():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def build_target(model: str, batch: int, dtype_str: str):
+    """Returns (fn, args, meta) with fn jittable: fn(*args) -> array."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype_str]
+    key = jax.random.PRNGKey(0)
+
+    if model in ("dvae-unet", "dvae-enc"):
+        from audio_algebra_tpu.models.dvae import DiffusionDVAE
+        from audio_algebra_tpu.utils.params import fast_random_params
+        m = DiffusionDVAE()
+        params = fast_random_params(m, 0, jnp.zeros((1, 2, 65536)),
+                                    jnp.zeros((1,)))
+        params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+        x = jax.random.normal(key, (batch, 2, 65536), dtype)
+        if model == "dvae-enc":
+            return (lambda p, a: m.apply(p, a, method=DiffusionDVAE.encode),
+                    (params, x), {"audio_sec": batch * 65536 / 48000})
+        t = jnp.full((batch,), 0.5, dtype)
+        cond = jax.random.normal(key, (batch, 64, 512), dtype)
+        return (lambda p, a, b, c: m.apply(p, a, b, c,
+                                           method=DiffusionDVAE.decode_v),
+                (params, x, t, cond), {"audio_sec": batch * 65536 / 48000})
+
+    from audio_algebra_tpu.given_models import CLAPDAE
+    w = CLAPDAE(debug=False)
+    w._ensure_params()
+    cast = lambda tr: jax.tree_util.tree_map(lambda a: a.astype(dtype), tr)
+    if model == "ldm":
+        params = cast(w.ldm_params)
+        z = jax.random.normal(key, (batch, w.latent_dim, 2048), dtype)
+        t = jnp.full((batch,), 0.5, dtype)
+        emb = jax.random.normal(key, (batch, 1, 512), dtype)
+        return (lambda p, a, b, e: w.latent_diffusion_model.apply(
+                    p, a, b, embedding=e, embedding_scale=4.0),
+                (params, z, t, emb),
+                {"audio_sec": batch * 1048576 / 48000})
+    if model == "outer":
+        from audio_algebra_tpu.models.stacked import \
+            LatentAudioDiffusionAutoencoder
+        params = cast(w.diffae_params)
+        x = jax.random.normal(key, (batch, 32, 32768), dtype)
+        t = jnp.full((batch,), 0.5, dtype)
+        cond = jax.random.normal(key, (batch, 32, 2048), dtype)
+        return (lambda p, a, b, c: w.latent_diffae.apply(
+                    p, a, b, c,
+                    method=LatentAudioDiffusionAutoencoder.diffusion_v),
+                (params, x, t, cond),
+                {"audio_sec": batch * 1048576 / 48000})
+    raise SystemExit(f"unknown --model {model}")
+
+
+def build_loop(model: str, batch: int, dtype_str: str, steps: int):
+    """A sampler loop target for `trace --steps N` (the in-loop program
+    is what production runs; its op accounting can differ from the
+    standalone forward)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_algebra_tpu.given_models import CLAPDAE
+    from audio_algebra_tpu.samplers.kdiff import kdiff_sample
+    from audio_algebra_tpu.samplers.vddim import sample as vddim_sample
+
+    key = jax.random.PRNGKey(0)
+    if model in ("dvae-unet",):
+        fn, (params, x, t, cond), meta = build_target(model, batch, dtype_str)
+        return (lambda: vddim_sample(lambda a, b, c: fn(params, a, b, c),
+                                     x, steps, 0, cond, key=key), meta)
+    w = CLAPDAE(debug=False)
+    w._ensure_params()
+    if model == "ldm":
+        emb = jax.random.normal(key, (batch, 1, 512))
+        z = jax.random.normal(key, (batch, w.latent_dim, 2048))
+        ldm = lambda a, b, embedding: w.latent_diffusion_model.apply(
+            w.ldm_params, a, b, embedding=embedding, embedding_scale=4.0)
+        return (lambda: kdiff_sample(ldm, z, steps, embedding=emb),
+                {"audio_sec": batch * 1048576 / 48000})
+    if model == "outer":
+        from audio_algebra_tpu.models.stacked import \
+            LatentAudioDiffusionAutoencoder
+        noise = jax.random.normal(key, (batch, 32, 32768))
+        cond = jnp.clip(jax.random.normal(key, (batch, 32, 2048)), -1, 1)
+        s1 = lambda a, b, c: w.latent_diffae.apply(
+            w.diffae_params, a, b, c,
+            method=LatentAudioDiffusionAutoencoder.diffusion_v)
+        return (lambda: vddim_sample(s1, noise, steps, 0, cond, key=key),
+                {"audio_sec": batch * 1048576 / 48000})
+    raise SystemExit(f"--steps unsupported for --model {model}")
+
+
+def cmd_forward(args):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    fn, fargs, meta = build_target(args.model, args.batch, args.dtype)
+    jfn = jax.jit(fn)
+    out = jax.block_until_ready(jfn(*fargs))
+
+    # amortized: N chained forwards inside one dispatched loop
+    def loop(x0):
+        def body(_, x):
+            y = jfn(fargs[0], x, *fargs[2:])
+            return x + 0 * y[..., :1].sum()  # keep x shape, force dep
+        return jax.lax.fori_loop(0, args.iters, body, x0)
+
+    lfn = jax.jit(loop)
+    jax.block_until_ready(lfn(fargs[1]))
+    t0 = time.perf_counter()
+    jax.block_until_ready(lfn(fargs[1]))
+    per = (time.perf_counter() - t0) / args.iters * 1e3
+    print(json.dumps({"model": args.model, "batch": args.batch,
+                      "dtype": args.dtype, "ms_per_forward": round(per, 2),
+                      "iters": args.iters}))
+
+
+def summarize_hlo_stats(path: str, top: int = 12):
+    d = json.loads(open(path, "rb").read().decode())
+    cols = [c["id"] for c in d["cols"]]
+    ix = {k: cols.index(k) for k in
+          ("program_id", "category", "hlo_op_name", "occurrences",
+           "total_self_time", "bound_by")}
+    rows = [[c.get("v") for c in r["c"]] for r in d["rows"]]
+    by_prog = collections.defaultdict(
+        lambda: collections.defaultdict(float))
+    tot = collections.defaultdict(float)
+    for r in rows:
+        p, cat = r[ix["program_id"]], r[ix["category"]]
+        t = float(r[ix["total_self_time"]] or 0)
+        by_prog[p][cat] += t
+        tot[p] += t
+    for p in sorted(tot, key=lambda q: -tot[q]):
+        if tot[p] < 100:   # skip noise programs (<0.1 ms)
+            continue
+        print(f"== program {p}: total {tot[p]/1e3:.1f} ms ==")
+        for cat, t in sorted(by_prog[p].items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {cat:40s} {t/1e3:8.2f} ms")
+    return by_prog, tot, (rows, ix)
+
+
+def cmd_trace(args):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    if args.steps:
+        run, _ = build_loop(args.model, args.batch, args.dtype, args.steps)
+    else:
+        fn, fargs, _ = build_target(args.model, args.batch, args.dtype)
+        jfn = jax.jit(fn)
+        run = lambda: jfn(*fargs)
+
+    fetch = lambda v: float(jnp.abs(jnp.ravel(v)[:8]).sum())
+    fetch(run())                      # compile outside the trace
+    t0 = time.perf_counter()
+    fetch(run())
+    wall = (time.perf_counter() - t0) * 1e3
+    print(f"wall: {wall:.1f} ms"
+          + (f" ({wall/args.steps:.1f} ms/step)" if args.steps else ""))
+
+    logdir = "/tmp/aa_trace"
+    shutil.rmtree(logdir, ignore_errors=True)
+    with jax.profiler.trace(logdir):
+        for _ in range(args.reps):
+            fetch(run())
+    xplanes = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    if not xplanes:
+        raise SystemExit("no xplane captured")
+    from xprof.convert import raw_to_tool_data
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [xplanes[-1]], "hlo_stats^", {})
+    out = "/tmp/aa_hlo_stats.out"
+    with open(out, "wb" if isinstance(data, bytes) else "w") as fh:
+        fh.write(data)
+    print(f"hlo_stats -> {out}  (reps={args.reps}; divide by reps)")
+    summarize_hlo_stats(out)
+
+
+def cmd_levels(args):
+    """Depth-truncated decode-UNet: cost of each resolution level."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from audio_algebra_tpu.models.unet1d import DiffusionAttnUnet1D
+    from audio_algebra_tpu.utils.params import fast_random_params
+
+    full = 14
+    prev = None
+    for depth in range(args.min_depth, full + 1):
+        c_mults = ([256, 256] + [512] * 12)[:depth]
+        m = DiffusionAttnUnet1D(io_channels=2, cond_dim=64,
+                                n_attn_layers=4, c_mults=tuple(c_mults))
+        params = fast_random_params(m, 0, jnp.zeros((1, 2, 65536)),
+                                    jnp.zeros((1,)),
+                                    jnp.zeros((1, 64, 512)))
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), params)
+        x = jax.random.normal(jax.random.PRNGKey(0),
+                              (args.batch, 2, 65536), jnp.bfloat16)
+        t = jnp.full((args.batch,), 0.5, jnp.bfloat16)
+        cond = jax.random.normal(jax.random.PRNGKey(1),
+                                 (args.batch, 64, 512), jnp.bfloat16)
+        f = jax.jit(lambda p, a, b, c: m.apply(p, a, b, c))
+        jax.block_until_ready(f(params, x, t, cond))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            jax.block_until_ready(f(params, x, t, cond))
+        ms = (time.perf_counter() - t0) / 3 * 1e3
+        delta = "" if prev is None else f"  (+{ms - prev:.1f})"
+        print(f"depth {depth:2d}: {ms:7.1f} ms{delta}", flush=True)
+        prev = ms
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    fwd = sub.add_parser("forward", help="amortized ms/forward")
+    fwd.add_argument("--model", default="dvae-unet")
+    fwd.add_argument("--batch", type=int, default=None)
+    fwd.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    fwd.add_argument("--iters", type=int, default=10)
+    fwd.set_defaults(func=cmd_forward)
+
+    tr = sub.add_parser("trace", help="xprof trace + hlo_stats summary")
+    tr.add_argument("--model", default="dvae-unet")
+    tr.add_argument("--batch", type=int, default=None)
+    tr.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    tr.add_argument("--steps", type=int, default=0,
+                    help="trace an N-step sampler loop instead of one fwd")
+    tr.add_argument("--reps", type=int, default=2)
+    tr.set_defaults(func=cmd_trace)
+
+    lv = sub.add_parser("levels", help="per-level decode-UNet cost")
+    lv.add_argument("--batch", type=int, default=16)
+    lv.add_argument("--min-depth", type=int, default=10)
+    lv.set_defaults(func=cmd_levels)
+
+    args = ap.parse_args()
+    if getattr(args, "batch", None) is None:
+        args.batch = 16 if args.model.startswith("dvae") else 1
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
