@@ -797,63 +797,93 @@ class CLAPDAE(GivenModelClass):
         cfg_scale = float(cfg_scales)
         n_latent = self.demo_samples // self.downsampling_ratio
 
-        ldm_fn = lambda x, t, embedding: self.latent_diffusion_model.apply(
-            self.ldm_params, x, t, embedding=embedding,
-            embedding_scale=cfg_scale)
-
+        # Every stage below runs as ONE cached jitted program (the
+        # DVAEWrapper.decode pattern): called eagerly, the samplers'
+        # lax.scan re-traces per call and each surrounding op is its own
+        # dispatch over the axon relay — measured 110 ms/step wall for a
+        # 26 ms/step program on the inner stage (3-4x the device time).
+        # Params ride as arguments so checkpoint pours can't go stale.
         if init_audio_latents is not None:
             print("   Calling ldc_resample")
-            fake_latents = resample_diffusion(
-                ldm_fn, jnp.asarray(init_audio_latents), steps=demo_steps,
-                noise_level=(1.0 - init_strength), key=self.next_key(),
-                embedding=embeddings)
+            init_lat = jnp.asarray(init_audio_latents)
+
+            def resample_fn(p, lat, emb, key):
+                fn = lambda x, t, embedding: \
+                    self.latent_diffusion_model.apply(
+                        p, x, t, embedding=embedding,
+                        embedding_scale=cfg_scale)
+                out = resample_diffusion(
+                    fn, lat, steps=demo_steps,
+                    noise_level=(1.0 - init_strength), key=key,
+                    embedding=emb)
+                return jnp.clip(out, -1, 1)
+
+            fake_latents = self._cached_jit(
+                f"ldc_resample{demo_steps}_{init_lat.shape}_{cfg_scale}"
+                f"_{init_strength}", resample_fn)(
+                self.ldm_params, init_lat, embeddings, self.next_key())
         else:
             print("   Calling ldc_sample")
             latent_noise = jax.random.normal(
                 self.next_key(), (batch_size, self.latent_dim, n_latent))
-            fake_latents = kdiff_sample(ldm_fn, latent_noise, demo_steps,
-                                        embedding=embeddings)
-        fake_latents = jnp.clip(fake_latents, -1, 1)
+
+            def sample_fn(p, noise, emb):
+                fn = lambda x, t, embedding: \
+                    self.latent_diffusion_model.apply(
+                        p, x, t, embedding=embedding,
+                        embedding_scale=cfg_scale)
+                return jnp.clip(
+                    kdiff_sample(fn, noise, demo_steps, embedding=emb),
+                    -1, 1)
+
+            fake_latents = self._cached_jit(
+                f"ldc_sample{demo_steps}_{latent_noise.shape}_{cfg_scale}",
+                sample_fn)(self.ldm_params, latent_noise, embeddings)
 
         print(f"Decoding fake_latents of shape {fake_latents.shape} "
               f"to audio length {self.sample_size}")
-        # stage-1 latents via cond diffusion, then AE decode.
-        # The outer stage + AE decode are the memory-heavy part (the AE
-        # intermediates reach full audio rate): at the reference's max
-        # variation batch 8 (reference mirage.py:696) they exceed 16 GB
-        # HBM, so decode in micro-batches — batch items are independent
-        # through every op here, so chunking is numerically identical.
+        # stage-1 latents via cond diffusion, then AE decode — one jitted
+        # program per micro-batch. The outer stage + AE decode are the
+        # memory-heavy part (the AE intermediates reach full audio rate):
+        # at the reference's max variation batch 8 (reference
+        # mirage.py:696) they exceed 16 GB HBM, so decode in
+        # micro-batches — batch items are independent through every op
+        # here, so chunking is numerically identical.
         s1_noise = jax.random.normal(
             self.next_key(),
             (fake_latents.shape[0], self.latent_diffae.latent_dim,
              fake_latents.shape[2] * self.latent_diffae.latent_downsampling_ratio))
         from .models.blocks import turbo_int8
-        if turbo_int8():
-            # amax-carry through the outer v-DDIM loop (same contract as
-            # the DVAE decode): grids ride the sampler carry
-            s1_fn = lambda x, t, aux, cond: self.latent_diffae.apply(
-                self.diffae_params, x, t, cond, q_aux=aux,
-                method=LatentAudioDiffusionAutoencoder.diffusion_v_aux)
-            outer = lambda n, z, key: vddim_sample(
-                s1_fn, n, outer_steps, 0, z, key=key, aux_mode=True)
-        else:
-            s1_fn = lambda x, t, cond: self.latent_diffae.apply(
-                self.diffae_params, x, t, cond,
-                method=LatentAudioDiffusionAutoencoder.diffusion_v)
-            outer = lambda n, z, key: vddim_sample(
-                s1_fn, n, outer_steps, 0, z, key=key)
+
+        def outer_decode_fn(p, noise, lat, key):
+            if turbo_int8():
+                # amax-carry through the outer v-DDIM loop (same contract
+                # as the DVAE decode): grids ride the sampler carry
+                s1_fn = lambda x, t, aux, cond: self.latent_diffae.apply(
+                    p, x, t, cond, q_aux=aux,
+                    method=LatentAudioDiffusionAutoencoder.diffusion_v_aux)
+                first = vddim_sample(s1_fn, noise, outer_steps, 0, lat,
+                                     key=key, aux_mode=True)
+            else:
+                s1_fn = lambda x, t, cond: self.latent_diffae.apply(
+                    p, x, t, cond,
+                    method=LatentAudioDiffusionAutoencoder.diffusion_v)
+                first = vddim_sample(s1_fn, noise, outer_steps, 0, lat,
+                                     key=key)
+            return self.latent_diffae.apply(
+                p, jnp.clip(first, -1, 1),
+                method=LatentAudioDiffusionAutoencoder.decode_first_stage)
 
         mdb = int(os.environ.get("AA_MIRAGE_DECODE_BATCH", 4))
         bsz = fake_latents.shape[0]
         parts = []
         for i in range(0, bsz, max(mdb, 1)):
             sl = slice(i, min(i + max(mdb, 1), bsz))
-            first_stage = outer(s1_noise[sl], fake_latents[sl],
-                                self.next_key())
-            first_stage = jnp.clip(first_stage, -1, 1)
-            parts.append(self.latent_diffae.apply(
-                self.diffae_params, first_stage,
-                method=LatentAudioDiffusionAutoencoder.decode_first_stage))
+            fn = self._cached_jit(
+                f"outer_decode{outer_steps}_{s1_noise[sl].shape}",
+                outer_decode_fn)
+            parts.append(fn(self.diffae_params, s1_noise[sl],
+                            fake_latents[sl], self.next_key()))
         fakes = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         if flatten:
             b, d, n = fakes.shape

@@ -257,3 +257,26 @@ def test_stacked_cond_tiny():
     params = m.init(rngs, x, t, embedding=emb, embedding_mask_proba=0.1)
     v = m.apply(params, x, t, embedding=emb, embedding_scale=2.0)
     assert v.shape == x.shape
+
+
+def test_rel_pos_bias_skew_equals_gather():
+    """The Toeplitz skew construction in RelPosSelfAttention must equal
+    the naive (T,T) bucket gather bit-for-bit (it replaced a gather that
+    was 48% of the MIRAGE inner step, see docs/performance.md)."""
+    import jax.numpy as jnp
+    from audio_algebra_tpu.models.unet_cfg1d import _relative_position_bucket
+
+    rng = np.random.default_rng(0)
+    for heads, t, nb, md in ((3, 17, 8, 16), (2, 64, 32, 128)):
+        table = jnp.asarray(rng.standard_normal((nb, heads)), jnp.float32)
+        pos = jnp.arange(t)
+        ref = jnp.transpose(
+            table[_relative_position_bucket(pos[None, :] - pos[:, None],
+                                            nb, md)], (2, 0, 1))
+        delta = jnp.arange(-(t - 1), t)
+        diag = table[_relative_position_bucket(delta, nb, md)]
+        prof = jnp.broadcast_to(diag.T[:, None, :], (heads, t, 2 * t - 1))
+        prof = jnp.pad(prof, ((0, 0), (0, 0), (0, 1)))
+        prof = prof.reshape(heads, 2 * t * t)[:, : t * (2 * t - 1)]
+        bias = prof.reshape(heads, t, 2 * t - 1)[:, :, t - 1:]
+        assert jnp.array_equal(bias, ref)
