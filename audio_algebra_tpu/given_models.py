@@ -784,6 +784,23 @@ class CLAPDAE(GivenModelClass):
             p, x, method=LatentAudioDiffusionAutoencoder.encode))
         return fn(self.diffae_params, jnp.asarray(audio))
 
+    def half(self, dtype=jnp.bfloat16):
+        """Cast the diffusion stages to bf16 — the reference's fp16
+        toggle (mirage.py:113-124 half_it, default on in the app). The
+        CLAP embedder stays f32 (one forward per prompt; its cost is
+        irrelevant and text/audio embedding parity is bit-sensitive).
+        Returns self. Measured: the f32 stages ran the outer UNet convs
+        at ~30 TF/s — a quarter of the bf16 conv rate."""
+        def cast(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+        self._ensure_params()
+        self.ldm_params = cast(self.ldm_params)
+        self.diffae_params = cast(self.diffae_params)
+        self._jit_cache.clear()
+        return self
+
     def generate(self, audio_embeddings, cfg_scales=4, demo_steps: int = 150,
                  outer_steps: int = 100, init_audio_latents=None,
                  init_strength: float = 0.4, batch_size: int = 1,
@@ -791,7 +808,10 @@ class CLAPDAE(GivenModelClass):
         """CFG latent diffusion -> stage decode -> audio
         (reference given_models.py:612-647)."""
         self._ensure_params()
-        embeddings = jnp.asarray(audio_embeddings)
+        # compute dtype follows the params (see half()): mixed f32 noise
+        # would silently promote every matmul back to f32
+        cdtype = jax.tree_util.tree_leaves(self.ldm_params)[0].dtype
+        embeddings = jnp.asarray(audio_embeddings).astype(cdtype)
         if isinstance(cfg_scales, list):
             cfg_scales = cfg_scales[0]
         cfg_scale = float(cfg_scales)
@@ -805,7 +825,7 @@ class CLAPDAE(GivenModelClass):
         # Params ride as arguments so checkpoint pours can't go stale.
         if init_audio_latents is not None:
             print("   Calling ldc_resample")
-            init_lat = jnp.asarray(init_audio_latents)
+            init_lat = jnp.asarray(init_audio_latents).astype(cdtype)
 
             def resample_fn(p, lat, emb, key):
                 fn = lambda x, t, embedding: \
@@ -825,7 +845,8 @@ class CLAPDAE(GivenModelClass):
         else:
             print("   Calling ldc_sample")
             latent_noise = jax.random.normal(
-                self.next_key(), (batch_size, self.latent_dim, n_latent))
+                self.next_key(), (batch_size, self.latent_dim, n_latent),
+                dtype=cdtype)
 
             def sample_fn(p, noise, emb):
                 fn = lambda x, t, embedding: \
@@ -852,7 +873,8 @@ class CLAPDAE(GivenModelClass):
         s1_noise = jax.random.normal(
             self.next_key(),
             (fake_latents.shape[0], self.latent_diffae.latent_dim,
-             fake_latents.shape[2] * self.latent_diffae.latent_downsampling_ratio))
+             fake_latents.shape[2] * self.latent_diffae.latent_downsampling_ratio),
+            dtype=cdtype)
         from .models.blocks import turbo_int8
 
         def outer_decode_fn(p, noise, lat, key):

@@ -71,17 +71,22 @@ def half_it(x, debug: bool = False, dtype="bfloat16"):
 
 
 def get_model_ready(model_choice: str = "22s", device=None, verbose: bool = True,
-                    **model_kwargs):
-    """Model cache keyed by choice (reference mirage.py:127-153)."""
+                    half: bool = True, **model_kwargs):
+    """Model cache keyed by choice (reference mirage.py:127-153); `half`
+    casts the diffusion stages to bf16 (the reference app's fp16 default,
+    reference mirage.py:113-124/264)."""
     global _model_cache
-    if model_choice not in _model_cache:
+    key = (model_choice, half)
+    if key not in _model_cache:
         from audio_algebra_tpu.given_models import CLAPDAE
         if verbose:
             print(f"get_model_ready: instantiating CLAPDAE ({model_choice})")
         model = CLAPDAE(**model_kwargs)
         model.setup(gdrive=False, model_len=model_choice)
-        _model_cache[model_choice] = model
-    return _model_cache[model_choice]
+        if half:
+            model.half()
+        _model_cache[key] = model
+    return _model_cache[key]
 
 
 # ---------------------------------------------------- embedding math ---

@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--outer-steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="bf16 = the app's serving default (half)")
     args = ap.parse_args()
 
     import jax
@@ -32,6 +34,8 @@ def main():
 
     w = CLAPDAE(debug=False)
     w.setup(gdrive=False)
+    if args.dtype == "bf16":
+        w.half()
 
     emb = jax.random.normal(jax.random.PRNGKey(0), (args.batch, 1, 512))
 
@@ -54,7 +58,8 @@ def main():
 
     audio_sec = args.batch * w.sample_size / 48000
     print(json.dumps({
-        "metric": f"mirage_generate_rt_{args.inner_steps}i_{args.outer_steps}o",
+        "metric": f"mirage_generate_rt_{args.inner_steps}i_"
+                  f"{args.outer_steps}o_{args.dtype}",
         "value": round(audio_sec / dt, 2), "unit": "x_realtime_per_chip",
         "note": f"{dt:.1f}s per {audio_sec:.1f}s of audio; "
                 f"compile {compile_s:.0f}s"}))
