@@ -187,3 +187,23 @@ def test_effects_explorer_e2e(script_corpus):
     assert set(maps.files) == {"Clean", "Gain"}
     for m in maps.files:
         assert maps[m].shape[-1] == 2 and np.isfinite(maps[m]).all()
+
+
+def test_build_docs_site(tmp_path):
+    """tools/build_docs.py renders the guide + per-module API pages (the
+    reference's quarto-site role, _quarto.yml/sidebar.yml)."""
+    out = tmp_path / "site"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/build_docs.py",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"))
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert (out / "index.html").exists()
+    assert (out / "performance.html").exists()
+    api = list((out / "api").glob("*.html"))
+    assert len(api) > 30, len(api)
+    gm = (out / "api" / "audio_algebra_tpu.given_models.html").read_text()
+    assert "CLAPDAE" in gm and "api-item" in gm
+    idx = (out / "index.html").read_text()
+    assert "<nav>" in idx and "api/audio_algebra_tpu.models.rave.html" in idx
