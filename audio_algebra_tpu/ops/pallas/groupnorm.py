@@ -6,11 +6,13 @@ XLA laid the stats/normalise fusions out time-minor ({1,2,0}) while every
 surrounding conv runs channel-minor ({2,0,1}) — inserting two full-tensor
 layout copies around EVERY GroupNorm, 69 ms of the 350 ms UNet forward
 (hlo_stats trace, B=16). Here both phases are Pallas kernels that read the
-tensor in its natural row-major layout: phase 1 accumulates per-tile
-(sum, sumsq) partials, phase 2 normalises + affine (+ optional exact-tanh
-GELU, so the activation costs no extra pass). HBM traffic: 2 reads +
-1 write vs XLA's reduce-read + 2 copies (r+w each) + apply (r+w) = 7
-passes.
+tensor in its natural row-major layout: the statistics come from an XLA
+reduce that FUSES into the output fusion of the conv that produced x
+(zero extra HBM passes — see groupnorm1_gelu_btc), and the normalise +
+affine (+ optional exact-tanh GELU) apply stays a Pallas kernel. HBM
+traffic: 1 read + 1 write vs XLA's reduce-read + 2 copies (r+w each) +
+apply (r+w) = 7 passes. (AA_GN_XLA_STATS=0 falls back to a Pallas stats
+pass — 2R+1W — kept for measurement.)
 
 Semantics match flax nn.GroupNorm(num_groups=1) (eps 1e-6, f32 stats) —
 parity-tested against it in tests/test_pallas_kernels.py.
@@ -590,34 +592,55 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                             gelu=gelu, eps=eps, b=b, emit_amax=emit_amax,
                             q_emit_scale=q_emit_scale)
 
-    # Small tensors: one two-phase launch (launch overhead dominates their
-    # traffic); big tensors keep the strided stats + apply pair (the 1/4-
-    # rate stats read is worth more than a launch there).
-    if t_len * b * c <= int(_os.environ.get("AA_GN_FUSE_MAX", 8_388_608)):
+    if _os.environ.get("AA_GN_XLA_STATS", "1") == "1":
+        # DEFAULT: XLA computes the (sum, sumsq) reduction so it fuses into
+        # the OUTPUT FUSION of the conv that produced x — the stats pass's
+        # full HBM read (~1/3 of all GN traffic at stride 1) disappears.
+        # Measured (same-day A/B, 35-step destructo bench, B=16): bf16
+        # 2.37 -> 2.57x realtime (step 9200 -> 8506 ms); turbo int8
+        # 3.32 -> 3.35x AND rel-RMS vs bf16 improves 0.023 -> 0.014
+        # (stats are exact again instead of stride-4 subsampled). The
+        # round-1 layout fear (XLA re-laying the tensor time-minor around
+        # reduces) does not apply to a reduce alone — only the normalise
+        # APPLY forced that, and it stays in Pallas. AA_GN_XLA_STATS=0
+        # restores the Pallas stats-pass path below.
+        # Exact same f32-accumulation numerics as the Pallas stats pass.
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=(1, 2))
+        var = jnp.maximum(jnp.mean(jnp.square(x32), axis=(1, 2))
+                          - jnp.square(mu), 0.0)
+        rstd = jax.lax.rsqrt(var + eps)
+        stats = jnp.pad(jnp.stack([mu, rstd], axis=-1),
+                        ((0, 0), (0, 126)))[None]      # (1, B, 128)
+    elif t_len * b * c <= int(_os.environ.get("AA_GN_FUSE_MAX", 8_388_608)):
+        # Small tensors: one two-phase launch (launch overhead dominates
+        # their traffic); big tensors keep the strided stats + apply pair
+        # (the 1/4-rate stats read is worth more than a launch there).
         return _single_launch(xt, scale, bias, residual, quant_scale,
                               gelu=gelu, eps=eps, tile=tile, nt=nt,
                               emit_amax=emit_amax, q_emit_scale=q_emit_scale)
-
-    partials = pl.pallas_call(
-        _stats_kernel_tbc,
-        grid=(nst,),
-        in_specs=[pl.BlockSpec((tile, b, c), lambda j, s=stride: (j * s, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, b, 128), lambda j: (j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nst, b, 128), jnp.float32),
-        interpret=_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * t_len * b * c // stride, transcendentals=0,
-            bytes_accessed=t_len * b * c * x.dtype.itemsize // stride),
-    )(xt)
-    sums = jnp.sum(partials, axis=0)            # (B, 128); cols 0,1 live
-    n = nst * tile * c
-    mu = sums[:, 0] / n
-    var = jnp.maximum(sums[:, 1] / n - jnp.square(mu), 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-    stats = jnp.stack([mu, rstd], axis=-1)      # (B, 2)
-    stats = jnp.pad(stats, ((0, 0), (0, 126)))[None]   # (1, B, 128)
+    else:
+        partials = pl.pallas_call(
+            _stats_kernel_tbc,
+            grid=(nst,),
+            in_specs=[pl.BlockSpec((tile, b, c),
+                                   lambda j, s=stride: (j * s, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, b, 128), lambda j: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nst, b, 128), jnp.float32),
+            interpret=_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * t_len * b * c // stride, transcendentals=0,
+                bytes_accessed=t_len * b * c * x.dtype.itemsize // stride),
+        )(xt)
+        sums = jnp.sum(partials, axis=0)        # (B, 128); cols 0,1 live
+        n = nst * tile * c
+        mu = sums[:, 0] / n
+        var = jnp.maximum(sums[:, 1] / n - jnp.square(mu), 0.0)
+        rstd = jax.lax.rsqrt(var + eps)
+        stats = jnp.stack([mu, rstd], axis=-1)  # (B, 2)
+        stats = jnp.pad(stats, ((0, 0), (0, 126)))[None]   # (1, B, 128)
 
     tile_spec = pl.BlockSpec((tile, b, c), lambda j: (j, 0, 0),
                              memory_space=pltpu.VMEM)
