@@ -41,11 +41,16 @@ class TestGroupNormFused:
         return nn.gelu(y) if gelu else y
 
     @pytest.mark.parametrize("gelu", [True, False])
-    def test_btc_variant_matches_flax(self, gelu):
+    @pytest.mark.parametrize("xla_stats", ["1", "0"])
+    def test_btc_variant_matches_flax(self, gelu, xla_stats, monkeypatch):
+        """Both statistics paths: the default XLA reduce (fuses into the
+        producing conv's output fusion on TPU) and the AA_GN_XLA_STATS=0
+        Pallas stats-pass fallback must agree with flax GroupNorm."""
         import jax
         import jax.numpy as jnp
         from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
 
+        monkeypatch.setenv("AA_GN_XLA_STATS", xla_stats)
         x = jax.random.normal(jax.random.PRNGKey(0), (3, 512, 256),
                               jnp.float32) * 2.0 + 0.3
         scale = jnp.linspace(0.5, 1.5, 256)
@@ -53,6 +58,32 @@ class TestGroupNormFused:
         ref = self._ref(x, scale, bias, gelu)
         y = groupnorm1_gelu_btc(x, scale, bias, gelu=gelu)
         assert float(jnp.abs(y - ref).max()) < 1e-5
+
+    def test_residual_and_stats_paths_agree(self):
+        """residual + gelu through the XLA-stats default vs the Pallas
+        stats pass: bit-comparable results (same f32 accumulation)."""
+        import os
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 1024, 128),
+                              jnp.float32)
+        res = jax.random.normal(jax.random.PRNGKey(2), (2, 1024, 128),
+                                jnp.float32)
+        scale = jnp.ones((128,)); bias = jnp.zeros((128,))
+        old = os.environ.get("AA_GN_XLA_STATS")
+        try:
+            os.environ["AA_GN_XLA_STATS"] = "1"
+            y1 = groupnorm1_gelu_btc(x, scale, bias, residual=res)
+            os.environ["AA_GN_XLA_STATS"] = "0"
+            y0 = groupnorm1_gelu_btc(x, scale, bias, residual=res)
+        finally:
+            if old is None:
+                os.environ.pop("AA_GN_XLA_STATS", None)
+            else:
+                os.environ["AA_GN_XLA_STATS"] = old
+        assert float(jnp.abs(y1 - y0).max()) < 1e-6
 
     def test_module_dispatch_and_fallback(self):
         import jax

@@ -140,17 +140,29 @@ def cmd_forward(args):
     jfn = jax.jit(fn)
     out = jax.block_until_ready(jfn(*fargs))
 
-    # amortized: N chained forwards inside one dispatched loop
-    def loop(x0):
+    # amortized: N chained forwards inside one dispatched loop. The params
+    # and trailing args MUST be loop arguments, not closure captures — a
+    # capture embeds them as HLO constants and the multi-GB compile request
+    # blows the axon relay's body-size cap (HTTP 413).
+    def loop(p, x0, rest):
         def body(_, x):
-            y = jfn(fargs[0], x, *fargs[2:])
-            return x + 0 * y[..., :1].sum()  # keep x shape, force dep
+            # chain the output back in (same shape for these models) — a
+            # `x + 0 * y.sum()` pseudo-dep gets constant-folded and XLA
+            # DCEs the entire forward (measured: 0.16 "ms/forward")
+            return jfn(p, x, *rest)
         return jax.lax.fori_loop(0, args.iters, body, x0)
 
     lfn = jax.jit(loop)
-    jax.block_until_ready(lfn(fargs[1]))
+
+    # block_until_ready does NOT await remote completion on the axon relay
+    # (measured: an 8.5 s loop "completes" in 0.1 ms) — force a real
+    # device-to-host fetch like bench.py does
+    def fetch(v):
+        return float(jnp.abs(jnp.ravel(v)[:8]).sum())
+
+    fetch(lfn(fargs[0], fargs[1], fargs[2:]))
     t0 = time.perf_counter()
-    jax.block_until_ready(lfn(fargs[1]))
+    fetch(lfn(fargs[0], fargs[1], fargs[2:]))
     per = (time.perf_counter() - t0) / args.iters * 1e3
     print(json.dumps({"model": args.model, "batch": args.batch,
                       "dtype": args.dtype, "ms_per_forward": round(per, 2),
@@ -242,10 +254,12 @@ def cmd_levels(args):
         cond = jax.random.normal(jax.random.PRNGKey(1),
                                  (args.batch, 64, 512), jnp.bfloat16)
         f = jax.jit(lambda p, a, b, c: m.apply(p, a, b, c))
-        jax.block_until_ready(f(params, x, t, cond))
+        # fetch, not block_until_ready — the relay's block is a no-op
+        fetch = lambda v: float(jnp.abs(jnp.ravel(v)[:8]).sum())
+        fetch(f(params, x, t, cond))
         t0 = time.perf_counter()
         for _ in range(3):
-            jax.block_until_ready(f(params, x, t, cond))
+            fetch(f(params, x, t, cond))
         ms = (time.perf_counter() - t0) / 3 * 1e3
         delta = "" if prev is None else f"  (+{ms - prev:.1f})"
         print(f"depth {depth:2d}: {ms:7.1f} ms{delta}", flush=True)
