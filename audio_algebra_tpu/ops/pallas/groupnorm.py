@@ -354,6 +354,81 @@ def _apply_res_amax_q_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref,
 # into two tiny matmuls. MEASURED SLOWER than the 3-D path on the MIRAGE
 # stages (see dispatcher note) — dispatch-disabled by default.
 
+def _flat_apply_kernel(*refs, b: int, gelu: bool, has_res: bool):
+    """Single-phase normalise+affine(+GELU)(+residual) on the flattened
+    (T*B, C) row view — full sublane fill at ANY batch size (the (T, B, C)
+    view fills only B/16 of each bf16 tile, 6.25% at MIRAGE's B=1).
+    Statistics arrive precomputed (the XLA reduce that rides the producing
+    conv's fusion), so unlike the retired two-phase rows variant there is
+    no in-kernel stats pass to pay for. Every block starts at a multiple
+    of b, so local row i belongs to batch item i % b — a static pattern
+    materialised by a tiny (R, b) one-hot matmul."""
+    k = 0
+    x_ref = refs[k]; k += 1
+    res_ref = None
+    if has_res:
+        res_ref = refs[k]; k += 1
+    stats_ref, scale_ref, bias_ref, o_ref = refs[k], refs[k+1], refs[k+2], refs[k+3]
+    x = x_ref[...].astype(jnp.float32)                      # (R, C)
+    rows = x.shape[0]
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (rows, b), 0) % b
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (rows, b), 1)
+    onehot = (row_b == col_b).astype(jnp.float32)           # (R, b)
+    mu = onehot @ stats_ref[0, :b][:, None]                 # (R, 1)
+    rstd = onehot @ stats_ref[1, :b][:, None]
+    y = (x - mu) * rstd
+    y = y * scale_ref[0, :].astype(jnp.float32)[None, :] \
+        + bias_ref[0, :].astype(jnp.float32)[None, :]
+    if gelu:
+        y = _gelu(y)
+    if res_ref is not None:
+        y = res_ref[...].astype(jnp.float32) + y
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _flat_apply_launch(xt, stats2, scale, bias, residual, *, gelu, b):
+    """xt is the (T, B, C) view; reshape to (T*B, C) rows (bitcast) and
+    normalise with precomputed stats2 (2, 128) f32 = [mu_row; rstd_row]
+    (cols 0..b-1 live). Returns the (B, T, C) tensor."""
+    t_len, b_, c = xt.shape
+    x2 = xt.reshape(t_len * b_, c)                # row-major: bitcast
+    total = t_len * b_
+    tile = total
+    while tile * c > MAX_TILE_ELEMS and tile % 2 == 0 and (tile // 2) % b_ == 0:
+        tile //= 2
+    nt = total // tile
+    tile_spec = pl.BlockSpec((tile, c), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM)
+    const_s = pl.BlockSpec((2, 128), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    const_c = pl.BlockSpec((1, c), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    has_res = residual is not None
+    in_specs = [tile_spec]
+    operands = [x2]
+    if has_res:
+        in_specs.append(tile_spec)
+        operands.append(jnp.swapaxes(residual, 0, 1).reshape(total, c))
+    in_specs += [const_s, const_c, const_c]
+    operands += [stats2, scale.reshape(1, c), bias.reshape(1, c)]
+    y2 = pl.pallas_call(
+        functools.partial(_flat_apply_kernel, b=b, gelu=gelu,
+                          has_res=has_res),
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((total, c), xt.dtype),
+        interpret=_interpret(),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=(12 if has_res else 10) * total * c,
+            transcendentals=total * c if gelu else 0,
+            bytes_accessed=int(((3 if has_res else 2) + 0.0)
+                               * total * c * xt.dtype.itemsize)),
+    )(*operands)
+    return jnp.swapaxes(y2.reshape(t_len, b_, c), 0, 1)
+
+
 def _rows_gn_kernel(*refs, nt: int, n: int, b: int, eps: float, gelu: bool,
                     has_res: bool, emit_amax: bool, quant: bool,
                     q_emit: bool):
@@ -610,6 +685,24 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
         var = jnp.maximum(jnp.mean(jnp.square(x32), axis=(1, 2))
                           - jnp.square(mu), 0.0)
         rstd = jax.lax.rsqrt(var + eps)
+        # Small-batch fast path: below AA_GN_FLAT_MAX_B the (T, B, C)-view
+        # apply fills only B/16 of each bf16 tile's sublanes (6.25% at
+        # MIRAGE's B=1) — normalise the flat (T*B, C) row view instead
+        # (same bytes, 100% fill at any B). Needs the precomputed stats of
+        # this branch; the turbo extras never coexist with B<16
+        # (turbo_batch_ok), so only the plain/residual variants exist.
+        # Unlike the retired AA_GN_ROWS variant there is no in-kernel
+        # stats pass to pay for — but it is OFF by default (0) until an
+        # on-chip A/B lands: the chip was unreachable when this was built
+        # (numerics are equivalence-tested vs the (T, B, C) path).
+        flat_max_b = int(_os.environ.get("AA_GN_FLAT_MAX_B", 0))
+        if (b < min(flat_max_b, 129) and quant_scale is None
+                and not emit_amax and q_emit_scale is None
+                and (t_len * b) % 8 == 0):
+            stats2 = jnp.pad(jnp.stack([mu, rstd], axis=0),
+                             ((0, 0), (0, 128 - b)))       # (2, 128)
+            return _flat_apply_launch(xt, stats2, scale, bias, residual,
+                                      gelu=gelu, b=b)
         stats = jnp.pad(jnp.stack([mu, rstd], axis=-1),
                         ((0, 0), (0, 126)))[None]      # (1, B, 128)
     elif t_len * b * c <= int(_os.environ.get("AA_GN_FUSE_MAX", 8_388_608)):

@@ -59,6 +59,32 @@ class TestGroupNormFused:
         y = groupnorm1_gelu_btc(x, scale, bias, gelu=gelu)
         assert float(jnp.abs(y - ref).max()) < 1e-5
 
+    @pytest.mark.parametrize("b", [1, 3, 4])
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_flat_apply_small_batch_matches(self, b, residual, monkeypatch):
+        """The flat (T*B, C)-row apply (small-batch fast path, 100% sublane
+        fill at any B) must agree with both flax and the (T, B, C)-view
+        kernels it replaces below AA_GN_FLAT_MAX_B."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (b, 512, 128),
+                              jnp.float32) * 1.7 - 0.4
+        res = (jax.random.normal(jax.random.PRNGKey(4), x.shape, jnp.float32)
+               if residual else None)
+        scale = jnp.linspace(0.7, 1.3, 128)
+        bias = jnp.linspace(-0.1, 0.1, 128)
+        ref = self._ref(x, scale, bias, True)
+        if res is not None:
+            ref = res + ref
+        monkeypatch.setenv("AA_GN_FLAT_MAX_B", "16")    # flat path ON
+        y_flat = groupnorm1_gelu_btc(x, scale, bias, gelu=True, residual=res)
+        monkeypatch.setenv("AA_GN_FLAT_MAX_B", "0")     # (T,B,C) path
+        y_view = groupnorm1_gelu_btc(x, scale, bias, gelu=True, residual=res)
+        assert float(jnp.abs(y_flat - ref).max()) < 1e-5
+        assert float(jnp.abs(y_flat - y_view).max()) < 1e-6
+
     def test_residual_and_stats_paths_agree(self):
         """residual + gelu through the XLA-stats default vs the Pallas
         stats pass: bit-comparable results (same f32 accumulation)."""
