@@ -57,6 +57,21 @@ def main():
     except Exception:
         pass
 
+    # The axon relay intermittently refuses backend setup with a transient
+    # "UNAVAILABLE: TPU backend setup/compile error" on first contact
+    # (observed killing whole bench runs). Retry init a few times before
+    # giving up so one hiccup doesn't void the round's measurement.
+    for attempt in range(6):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 5:
+                raise
+            print(f"# backend init failed ({e}); retry {attempt + 1}/5 "
+                  "in 30s", file=sys.stderr)
+            time.sleep(30)
+
     import jax.numpy as jnp
     from audio_algebra_tpu.models.dvae import DiffusionDVAE
     from audio_algebra_tpu.samplers.vddim import sample as vddim_sample

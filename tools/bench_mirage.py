@@ -29,6 +29,17 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    # transient relay "UNAVAILABLE" on first contact: bounded retry
+    for attempt in range(6):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 5:
+                raise
+            print(f"# backend init failed ({e}); retrying in 30s",
+                  file=sys.stderr)
+            time.sleep(30)
     import jax.numpy as jnp
     from audio_algebra_tpu.given_models import CLAPDAE
 
