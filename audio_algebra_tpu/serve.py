@@ -1,0 +1,244 @@
+"""MIRAGE serving — a dependency-free HTTP endpoint around CLAPDAE.
+
+The reference serves MIRAGE through a Gradio Blocks GUI plus basic-auth
+`launch()` (reference mirage.py:520-651) — a heavyweight interactive stack.
+This module is the production serving surface of the rebuild: a stdlib
+`ThreadingHTTPServer` wrapping ONE warm `CLAPDAE`, with requests serialized
+onto the single chip by a lock. All jit programs are cached per shape, so
+steady-state latency is exactly the `generate()` wall time recorded in
+BASELINE.md (1.8-4.8x realtime at batch 1-8 on one v5e).
+
+Endpoints:
+  GET  /health    -> {"ok": true, "model": "22s", "sample_size": N, ...}
+  POST /embed     -> {"text": "..."} JSON, or WAV/MP3 bytes with an audio/*
+                     Content-Type -> {"embedding": [[[...512 floats]]]}
+  POST /generate  -> JSON spec -> 16-bit PCM WAV bytes (48 kHz stereo)
+
+Generate spec (all keys optional except at least one prompt source):
+  {"text": ["low brass"],              # text prompt(s), CLAP-embedded
+   "embeddings": [[...512 floats]],    # pre-computed unit embeddings
+   "weights": [1.0, -0.5],             # algebra weights (with "algebra")
+   "algebra": false,                   # weighted-sum vs slerp combine
+   "interp": 0.5,                      # slerp t (two+ prompts, no algebra)
+   "cfg_scale": 4.0, "steps": 150, "outer_steps": 100,
+   "batch_size": 1, "seed": -1}
+
+The embed/combine semantics mirror `mirage.process_audio` (reference
+mirage.py:255-453): slerp interpolation between prompts by default, or the
+renormalized weighted sum ("AUDIO ALLLLGEEEBRRAA", reference :375-381).
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import tempfile
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["MirageService", "make_server", "main"]
+
+
+def encode_wav(audio: np.ndarray, sample_rate: int = 48000) -> bytes:
+    """(C, N) float audio -> 16-bit PCM WAV bytes (stdlib only)."""
+    a = np.asarray(audio, np.float32)
+    if a.ndim == 1:
+        a = a[None]
+    pcm = (np.clip(a, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(pcm.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.T.tobytes())           # interleave channels
+    return buf.getvalue()
+
+
+class MirageService:
+    """One warm model + a chip lock. `model` is injectable for tests
+    (any object with .embed/.generate/.sample_size); by default the
+    mirage model cache supplies a full CLAPDAE."""
+
+    def __init__(self, model=None, model_choice: str = "22s",
+                 half: bool = True, verbose: bool = True):
+        if model is None:
+            from mirage import get_model_ready
+            model = get_model_ready(model_choice, verbose=verbose, half=half)
+        self.model = model
+        self.model_choice = model_choice
+        self.lock = threading.Lock()
+        self.verbose = verbose
+        self.requests_served = 0
+
+    # ------------------------------------------------------------ embed ---
+    def embed_text(self, text: str) -> np.ndarray:
+        with self.lock:
+            return np.asarray(self.model.embed(text), np.float32)
+
+    def embed_audio_bytes(self, data: bytes, suffix: str = ".wav") -> np.ndarray:
+        """Decode posted audio via the repo loader (WAV + MP3 through the
+        native codec), embed. Resampling to 48k happens in load_audio."""
+        from audio_algebra_tpu.utils.audio_io import load_audio
+        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            audio = load_audio(path, sr=48000)
+        finally:
+            os.unlink(path)
+        with self.lock:
+            return np.asarray(self.model.embed(audio), np.float32)
+
+    # --------------------------------------------------------- generate ---
+    def generate_wav(self, spec: dict) -> tuple[bytes, dict]:
+        """Run embed -> combine -> generate -> crossfade; returns
+        (wav_bytes, info). Mirrors mirage.process_audio's combine rules."""
+        from mirage import interp_embeddings, weighted_algebra
+        from audio_algebra_tpu.utils.audio_io import crossfade_flatten
+
+        texts = spec.get("text") or []
+        if isinstance(texts, str):
+            texts = [texts]
+        embeddings = [np.asarray(e, np.float32).reshape(1, 1, -1)
+                      for e in spec.get("embeddings") or []]
+
+        with self.lock:
+            for t in texts:
+                if t:
+                    embeddings.append(np.asarray(self.model.embed(t),
+                                                 np.float32))
+            if not embeddings:
+                raise ValueError(
+                    "no prompt: supply 'text' and/or 'embeddings'")
+            if len(embeddings) == 1:
+                emb = embeddings[0]
+            elif spec.get("algebra"):
+                weights = spec.get("weights") or [1.0] * len(embeddings)
+                emb = weighted_algebra(embeddings, weights)
+            else:
+                t = float(spec.get("interp", 0.5))
+                emb = interp_embeddings(embeddings[0], embeddings[1], t)
+                for extra in embeddings[2:]:
+                    emb = interp_embeddings(emb, extra, t)
+
+            if int(spec.get("seed", -1)) >= 0:
+                import jax
+                self.model._key = jax.random.PRNGKey(int(spec["seed"]))
+
+            fakes, _ = self.model.generate(
+                emb,
+                cfg_scales=float(spec.get("cfg_scale", 4.0)),
+                demo_steps=int(spec.get("steps", 150)),
+                outer_steps=int(spec.get("outer_steps", 100)),
+                batch_size=int(spec.get("batch_size", 1)),
+                flatten=False)
+            self.requests_served += 1
+
+        out = crossfade_flatten(np.asarray(fakes, np.float32))
+        info = {"batch_size": int(spec.get("batch_size", 1)),
+                "samples": int(out.shape[-1]), "sample_rate": 48000}
+        return encode_wav(out, 48000), info
+
+    def health(self) -> dict:
+        return {"ok": True, "model": self.model_choice,
+                "sample_size": int(getattr(self.model, "sample_size", 0)),
+                "requests_served": self.requests_served}
+
+
+def _make_handler(service: MirageService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):     # quiet unless verbose
+            if service.verbose:
+                super().log_message(fmt, *args)
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path.rstrip("/") in ("", "/health"):
+                self._send_json(200, service.health())
+            else:
+                self._send_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            data = self.rfile.read(n)
+            ctype = (self.headers.get("Content-Type") or "").lower()
+            try:
+                if self.path == "/embed":
+                    if ctype.startswith("audio/"):
+                        suffix = ".mp3" if "mpeg" in ctype or "mp3" in ctype \
+                            else ".wav"
+                        emb = service.embed_audio_bytes(data, suffix)
+                    else:
+                        spec = json.loads(data or b"{}")
+                        emb = service.embed_text(str(spec["text"]))
+                    self._send_json(200, {"embedding": emb.tolist()})
+                elif self.path == "/generate":
+                    spec = json.loads(data or b"{}")
+                    wav, info = service.generate_wav(spec)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(wav)))
+                    self.send_header("X-Generate-Info", json.dumps(info))
+                    self.end_headers()
+                    self.wfile.write(wav)
+                else:
+                    self._send_json(404, {"error": f"no route {self.path}"})
+            except (ValueError, KeyError) as e:
+                self._send_json(400, {"error": str(e)})
+            except Exception as e:             # surface, don't kill the server
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(service: MirageService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port 0 = ephemeral); caller runs .serve_forever()."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def main(argv: Optional[list] = None):
+    p = argparse.ArgumentParser(description="MIRAGE HTTP serving endpoint")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8950)
+    p.add_argument("--model", choices=["22s", "66s"], default="22s")
+    p.add_argument("--no-half", action="store_true",
+                   help="serve in f32 (default bf16, the app default)")
+    p.add_argument("--turbo", action="store_true",
+                   help="int8 turbo mode (engages at batch >= 16)")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the default-config generate before binding")
+    args = p.parse_args(argv)
+
+    if args.turbo:
+        os.environ["AA_TURBO_INT8"] = "1"
+    service = MirageService(model_choice=args.model, half=not args.no_half)
+    if args.warmup:
+        print("serve: warmup generate (compiles the serving programs)...")
+        service.generate_wav({"text": ["warmup"], "steps": 150,
+                              "outer_steps": 100, "batch_size": 1})
+    server = make_server(service, args.host, args.port)
+    print(f"serve: MIRAGE ({args.model}) listening on "
+          f"http://{args.host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""HTTP serving endpoint (audio_algebra_tpu/serve.py) — end-to-end over a
+real socket with the tiny CLAPDAE config (CPU; random weights)."""
+import http.client
+import io
+import json
+import threading
+import wave
+
+import numpy as np
+import pytest
+
+from audio_algebra_tpu.given_models import CLAPDAE
+from audio_algebra_tpu.serve import MirageService, encode_wav, make_server
+
+from test_given_models import TINY_CLAPDAE
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = CLAPDAE(**TINY_CLAPDAE)
+    model.demo_samples = 4096
+    service = MirageService(model=model, model_choice="tiny", verbose=False)
+    srv = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _conn(addr):
+    return http.client.HTTPConnection(addr[0], addr[1], timeout=300)
+
+
+def test_health(server):
+    c = _conn(server)
+    c.request("GET", "/health")
+    r = c.getresponse()
+    assert r.status == 200
+    body = json.loads(r.read())
+    assert body["ok"] is True and body["model"] == "tiny"
+
+
+def test_embed_text(server):
+    c = _conn(server)
+    c.request("POST", "/embed", json.dumps({"text": "a piano melody"}),
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    emb = np.asarray(json.loads(r.read())["embedding"])
+    assert emb.shape == (1, 1, 512)
+    np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-3)
+
+
+def test_embed_audio_wav(server):
+    rng = np.random.default_rng(0)
+    wav = encode_wav(np.tanh(rng.standard_normal((2, 4096))) * 0.5, 48000)
+    c = _conn(server)
+    c.request("POST", "/embed", wav, {"Content-Type": "audio/wav"})
+    r = c.getresponse()
+    assert r.status == 200
+    emb = np.asarray(json.loads(r.read())["embedding"])
+    assert emb.shape == (1, 1, 512)
+
+
+def test_generate_returns_playable_wav(server):
+    c = _conn(server)
+    spec = {"text": ["warm pad", "icy pad"], "interp": 0.25,
+            "steps": 2, "outer_steps": 2, "cfg_scale": 2.0, "seed": 7}
+    c.request("POST", "/generate", json.dumps(spec),
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    info = json.loads(r.getheader("X-Generate-Info"))
+    raw = r.read()
+    with wave.open(io.BytesIO(raw)) as w:
+        assert w.getframerate() == 48000
+        assert w.getnchannels() == 2
+        frames = w.getnframes()
+    assert frames == info["samples"] > 0
+    pcm = np.frombuffer(raw[-frames * 4:], "<i2")
+    assert np.isfinite(pcm).all() and np.abs(pcm).max() <= 32767
+
+
+def test_generate_algebra_and_errors(server):
+    c = _conn(server)
+    # weighted algebra over precomputed embeddings: no model embed needed
+    e1 = np.zeros(512); e1[0] = 1.0
+    e2 = np.zeros(512); e2[1] = 1.0
+    spec = {"embeddings": [e1.tolist(), e2.tolist()],
+            "weights": [1.0, -0.5], "algebra": True,
+            "steps": 2, "outer_steps": 2}
+    c.request("POST", "/generate", json.dumps(spec),
+              {"Content-Type": "application/json"})
+    r0 = c.getresponse()
+    assert r0.status == 200
+    r0.read()
+    # no prompt at all -> 400, server stays alive
+    c2 = _conn(server)
+    c2.request("POST", "/generate", json.dumps({"steps": 2}),
+               {"Content-Type": "application/json"})
+    r = c2.getresponse()
+    assert r.status == 400
+    assert "no prompt" in json.loads(r.read())["error"]
+    c3 = _conn(server)
+    c3.request("GET", "/health")
+    assert c3.getresponse().status == 200
