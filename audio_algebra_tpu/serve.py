@@ -35,6 +35,7 @@ import json
 import os
 import tempfile
 import threading
+import time
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -59,13 +60,108 @@ def encode_wav(audio: np.ndarray, sample_rate: int = 48000) -> bytes:
     return buf.getvalue()
 
 
+class _Pending:
+    """One queued generate request awaiting its micro-batch slot."""
+
+    __slots__ = ("emb", "key", "event", "result", "error")
+
+    def __init__(self, emb, key):
+        self.emb = emb
+        self.key = key
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class _MicroBatcher:
+    """Coalesce concurrent single-variation /generate requests into one
+    padded batch — the TPU serving win: measured per-item throughput at
+    batch 4 is ~2.7x batch 1 (BASELINE.md MIRAGE rows), because the
+    decode UNet's tiles under-fill below batch 16 and fixed per-step
+    overheads amortize. Requests arriving within `window_s` of each other
+    whose (steps, outer_steps, cfg_scale) agree run as ONE generate()
+    call, padded to a power of two (bounded jit-program count: programs
+    exist only for batch {1, 2, 4, 8}); pad slots repeat the last
+    embedding and their outputs are discarded. Each slot draws distinct
+    noise inside generate(), so coalesced requests get independent
+    samples."""
+
+    def __init__(self, service: "MirageService", window_s: float = 0.05,
+                 max_batch: int = 8):
+        self.service = service
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.queue: "list[_Pending]" = []
+        self.cv = threading.Condition()
+        self.batched_runs = 0
+        self.coalesced_requests = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, emb: np.ndarray, key: tuple) -> np.ndarray:
+        p = _Pending(np.asarray(emb, np.float32).reshape(1, 1, -1), key)
+        with self.cv:
+            self.queue.append(p)
+            self.cv.notify()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _take_group(self) -> "list[_Pending]":
+        """Block for work, linger `window_s` for co-batchable arrivals,
+        then take the largest same-key group."""
+        with self.cv:
+            while not self.queue:
+                self.cv.wait()
+            deadline = time.monotonic() + self.window_s
+            while len(self.queue) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self.cv.wait(timeout=remaining):
+                    break
+            key = self.queue[0].key
+            group = [p for p in self.queue if p.key == key][: self.max_batch]
+            for p in group:
+                self.queue.remove(p)
+            return group
+
+    def _loop(self):
+        while True:
+            group = self._take_group()
+            n = len(group)
+            pad_n = 1 << (n - 1).bit_length()          # next power of two
+            embs = [p.emb for p in group]
+            embs += [embs[-1]] * (pad_n - n)
+            steps, outer_steps, cfg_scale = group[0].key
+            try:
+                with self.service.lock:
+                    fakes, _ = self.service.model.generate(
+                        np.concatenate(embs, axis=0),
+                        cfg_scales=cfg_scale, demo_steps=steps,
+                        outer_steps=outer_steps, batch_size=pad_n,
+                        flatten=False)
+                    self.batched_runs += 1
+                    self.coalesced_requests += n
+                fakes = np.asarray(fakes, np.float32)
+                for i, p in enumerate(group):
+                    p.result = fakes[i]
+            except Exception as e:                     # pragma: no cover
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+
+
 class MirageService:
     """One warm model + a chip lock. `model` is injectable for tests
     (any object with .embed/.generate/.sample_size); by default the
-    mirage model cache supplies a full CLAPDAE."""
+    mirage model cache supplies a full CLAPDAE. `batch_window_s` > 0
+    enables request micro-batching (see _MicroBatcher)."""
 
     def __init__(self, model=None, model_choice: str = "22s",
-                 half: bool = True, verbose: bool = True):
+                 half: bool = True, verbose: bool = True,
+                 batch_window_s: float = 0.0, max_batch: int = 8):
         if model is None:
             from mirage import get_model_ready
             model = get_model_ready(model_choice, verbose=verbose, half=half)
@@ -74,6 +170,8 @@ class MirageService:
         self.lock = threading.Lock()
         self.verbose = verbose
         self.requests_served = 0
+        self.batcher = (_MicroBatcher(self, batch_window_s, max_batch)
+                        if batch_window_s > 0 else None)
 
     # ------------------------------------------------------------ embed ---
     def embed_text(self, text: str) -> np.ndarray:
@@ -112,32 +210,41 @@ class MirageService:
                 if t:
                     embeddings.append(np.asarray(self.model.embed(t),
                                                  np.float32))
-            if not embeddings:
-                raise ValueError(
-                    "no prompt: supply 'text' and/or 'embeddings'")
-            if len(embeddings) == 1:
-                emb = embeddings[0]
-            elif spec.get("algebra"):
-                weights = spec.get("weights") or [1.0] * len(embeddings)
-                emb = weighted_algebra(embeddings, weights)
-            else:
-                t = float(spec.get("interp", 0.5))
-                emb = interp_embeddings(embeddings[0], embeddings[1], t)
-                for extra in embeddings[2:]:
-                    emb = interp_embeddings(emb, extra, t)
+        if not embeddings:
+            raise ValueError(
+                "no prompt: supply 'text' and/or 'embeddings'")
+        if len(embeddings) == 1:
+            emb = embeddings[0]
+        elif spec.get("algebra"):
+            weights = spec.get("weights") or [1.0] * len(embeddings)
+            emb = weighted_algebra(embeddings, weights)
+        else:
+            t = float(spec.get("interp", 0.5))
+            emb = interp_embeddings(embeddings[0], embeddings[1], t)
+            for extra in embeddings[2:]:
+                emb = interp_embeddings(emb, extra, t)
 
-            if int(spec.get("seed", -1)) >= 0:
-                import jax
-                self.model._key = jax.random.PRNGKey(int(spec["seed"]))
+        seed = int(spec.get("seed", -1))
+        steps = int(spec.get("steps", 150))
+        outer_steps = int(spec.get("outer_steps", 100))
+        cfg_scale = float(spec.get("cfg_scale", 4.0))
+        batch_size = int(spec.get("batch_size", 1))
 
-            fakes, _ = self.model.generate(
-                emb,
-                cfg_scales=float(spec.get("cfg_scale", 4.0)),
-                demo_steps=int(spec.get("steps", 150)),
-                outer_steps=int(spec.get("outer_steps", 100)),
-                batch_size=int(spec.get("batch_size", 1)),
-                flatten=False)
+        if self.batcher is not None and batch_size == 1 and seed < 0:
+            # coalescible: one variation, no pinned RNG
+            fakes = self.batcher.submit(
+                emb, (steps, outer_steps, cfg_scale))[None]
             self.requests_served += 1
+        else:
+            with self.lock:
+                if seed >= 0:
+                    import jax
+                    self.model._key = jax.random.PRNGKey(seed)
+                fakes, _ = self.model.generate(
+                    emb, cfg_scales=cfg_scale, demo_steps=steps,
+                    outer_steps=outer_steps, batch_size=batch_size,
+                    flatten=False)
+                self.requests_served += 1
 
         out = crossfade_flatten(np.asarray(fakes, np.float32))
         info = {"batch_size": int(spec.get("batch_size", 1)),
@@ -145,9 +252,13 @@ class MirageService:
         return encode_wav(out, 48000), info
 
     def health(self) -> dict:
-        return {"ok": True, "model": self.model_choice,
-                "sample_size": int(getattr(self.model, "sample_size", 0)),
-                "requests_served": self.requests_served}
+        h = {"ok": True, "model": self.model_choice,
+             "sample_size": int(getattr(self.model, "sample_size", 0)),
+             "requests_served": self.requests_served}
+        if self.batcher is not None:
+            h["batched_runs"] = self.batcher.batched_runs
+            h["coalesced_requests"] = self.batcher.coalesced_requests
+        return h
 
 
 def _make_handler(service: MirageService):
@@ -222,11 +333,18 @@ def main(argv: Optional[list] = None):
                    help="int8 turbo mode (engages at batch >= 16)")
     p.add_argument("--warmup", action="store_true",
                    help="compile the default-config generate before binding")
+    p.add_argument("--batch-window", type=float, default=0.05,
+                   help="micro-batching window in seconds (0 disables); "
+                        "concurrent same-config requests run as one batch")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="micro-batch cap (reference max variation batch)")
     args = p.parse_args(argv)
 
     if args.turbo:
         os.environ["AA_TURBO_INT8"] = "1"
-    service = MirageService(model_choice=args.model, half=not args.no_half)
+    service = MirageService(model_choice=args.model, half=not args.no_half,
+                            batch_window_s=args.batch_window,
+                            max_batch=args.max_batch)
     if args.warmup:
         print("serve: warmup generate (compiles the serving programs)...")
         service.generate_wav({"text": ["warmup"], "steps": 150,

@@ -82,6 +82,46 @@ def test_generate_returns_playable_wav(server):
     assert np.isfinite(pcm).all() and np.abs(pcm).max() <= 32767
 
 
+def test_micro_batching_coalesces_concurrent_requests():
+    """4 concurrent same-config requests must run as ONE padded generate
+    (the TPU serving win: per-item throughput at batch 4 ~2.7x batch 1),
+    each request getting an independent sample."""
+    model = CLAPDAE(**TINY_CLAPDAE)
+    model.demo_samples = 4096
+    service = MirageService(model=model, model_choice="tiny", verbose=False,
+                            batch_window_s=0.5, max_batch=8)
+    e = np.zeros(512)
+    e[3] = 1.0
+    spec = {"embeddings": [e.tolist()], "steps": 2, "outer_steps": 2}
+    results, errors = [None] * 4, []
+
+    def worker(i):
+        try:
+            results[i] = service.generate_wav(dict(spec))
+        except Exception as exc:             # surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors
+    assert all(r is not None for r in results)
+    assert service.batcher.coalesced_requests == 4
+    assert service.batcher.batched_runs <= 2     # one run, two if racy
+    # distinct noise slots -> distinct audio per request
+    pcms = [np.frombuffer(r[0][44:], "<i2") for r in results]
+    assert any(not np.array_equal(pcms[0], p) for p in pcms[1:])
+    h = service.health()
+    assert h["coalesced_requests"] == 4 and h["requests_served"] == 4
+    # a seeded request bypasses the batcher (reproducibility contract)
+    before = service.batcher.coalesced_requests
+    service.generate_wav({"embeddings": [e.tolist()], "steps": 2,
+                          "outer_steps": 2, "seed": 11})
+    assert service.batcher.coalesced_requests == before
+
+
 def test_generate_algebra_and_errors(server):
     c = _conn(server)
     # weighted algebra over precomputed embeddings: no model embed needed
