@@ -71,10 +71,14 @@ class GivenModelClass:
         return sub
 
     def _cached_jit(self, name: str, fn):
-        # key on the turbo flag too: the int8 path is chosen at trace time,
-        # so flipping AA_TURBO_INT8 mid-process must not reuse stale programs
+        # key on the trace-time env flags too: the int8 path and the
+        # grouped-GN fold are chosen at trace time, so flipping
+        # AA_TURBO_INT8 / AA_LDM_GN mid-process must not reuse stale
+        # programs
         from .models.blocks import turbo_int8
-        name = f"{name}|turbo={turbo_int8()}"
+        name = (f"{name}|turbo={turbo_int8()}"
+                f"|ldmgn={os.environ.get('AA_LDM_GN', '0')}"
+                f"{os.environ.get('AA_LDM_GN_PALLAS', '0')}")
         if name not in self._jit_cache:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]

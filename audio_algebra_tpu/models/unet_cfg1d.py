@@ -22,6 +22,7 @@ MLP -> per-block scale/shift.
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -141,20 +142,50 @@ class TransformerBlock(nn.Module):
         return FeedForward(self.multiplier)(x)
 
 
+class GroupNormFoldable(nn.Module):
+    """nn.GroupNorm-compatible params ('scale'/'bias', feature-shaped) with
+    a trace-time choice of graph: the literal flax GroupNorm (+ FiLM +
+    SiLU as separate ops), or the folded per-(B, C) affine-planes form
+    (AA_LDM_GN=1; ops/pallas/groupnorm_grouped.py) that keeps the big
+    tensor out of XLA's GroupNorm layout pattern. Checkpoints are
+    identical either way."""
+    groups: int
+
+    @nn.compact
+    def __call__(self, x, film_scale=None, film_shift=None, silu=True):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        from ..ops.pallas.groupnorm_grouped import (grouped_gn_film_silu,
+                                                    supported)
+        if os.environ.get("AA_LDM_GN", "0") == "1" \
+                and supported(x.shape, self.groups):
+            return grouped_gn_film_silu(
+                x, scale, bias, self.groups,
+                film_scale=film_scale, film_shift=film_shift, silu=silu)
+        h = nn.GroupNorm(num_groups=self.groups, use_scale=False,
+                         use_bias=False)(x)
+        h = h * scale + bias
+        if film_scale is not None:
+            h = h * (1 + film_scale)
+        if film_shift is not None:
+            h = h + film_shift
+        return nn.silu(h) if silu else h
+
+
 class ResnetBlock(nn.Module):
     features: int
     groups: int = 8
 
     @nn.compact
     def __call__(self, x, time_emb):
-        h = nn.GroupNorm(num_groups=self.groups)(x)
-        h = nn.silu(h)
+        h = GroupNormFoldable(self.groups, name="GroupNorm_0")(x)
         h = Conv1d(self.features, kernel_size=3)(h)
         # per-block time scale/shift
         ts = nn.Dense(2 * self.features)(nn.silu(time_emb))
         scale, shift = jnp.split(ts[:, None, :], 2, axis=-1)
-        h = nn.GroupNorm(num_groups=self.groups)(h) * (1 + scale) + shift
-        h = nn.silu(h)
+        h = GroupNormFoldable(self.groups, name="GroupNorm_1")(
+            h, film_scale=scale, film_shift=shift)
         h = Conv1d(self.features, kernel_size=3)(h)
         skip = x if x.shape[-1] == self.features else nn.Dense(self.features,
                                                                use_bias=False)(x)
@@ -228,8 +259,7 @@ class _UNetCore(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             h = level(h, i, "up")
 
-        h = nn.GroupNorm(num_groups=cfg.resnet_groups, name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNormFoldable(cfg.resnet_groups, name="out_norm")(h)
         h = Conv1d(cfg.in_channels, kernel_size=7, name="out_conv")(h)
         return jnp.swapaxes(h, -1, -2)
 

@@ -85,6 +85,63 @@ class TestGroupNormFused:
         assert float(jnp.abs(y_flat - ref).max()) < 1e-5
         assert float(jnp.abs(y_flat - y_view).max()) < 1e-6
 
+    @pytest.mark.parametrize("b,t,c", [(1, 64, 128), (2, 256, 256),
+                                       (8, 32, 512)])
+    @pytest.mark.parametrize("film", [False, True])
+    @pytest.mark.parametrize("pallas", [False, True])
+    def test_grouped_gn_film_silu_matches_flax(self, b, t, c, film, pallas,
+                                               monkeypatch):
+        """The folded grouped-GN (+FiLM) (+SiLU) affine-planes form (both
+        the XLA apply and the Pallas apply) must match the literal flax
+        GroupNorm graph it replaces in UNetCFG1d.ResnetBlock."""
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+        from audio_algebra_tpu.ops.pallas.groupnorm_grouped import (
+            grouped_gn_film_silu)
+
+        groups = 8
+        k = jax.random.PRNGKey(0)
+        x = jax.random.normal(k, (b, t, c), jnp.float32) * 1.3 + 0.2
+        scale = jnp.linspace(0.8, 1.2, c)
+        bias = jnp.linspace(-0.2, 0.2, c)
+        fs = (jax.random.normal(jax.random.PRNGKey(1), (b, 1, c)) * 0.3
+              if film else None)
+        fsh = (jax.random.normal(jax.random.PRNGKey(2), (b, 1, c)) * 0.2
+               if film else None)
+
+        gn = nn.GroupNorm(num_groups=groups, use_scale=False, use_bias=False)
+        ref = gn.apply({"params": {}}, x) * scale + bias
+        if film:
+            ref = ref * (1 + fs) + fsh
+        ref = nn.silu(ref)
+
+        monkeypatch.setenv("AA_LDM_GN_PALLAS", "1" if pallas else "0")
+        y = grouped_gn_film_silu(x, scale, bias, groups,
+                                 film_scale=fs, film_shift=fsh)
+        assert float(jnp.abs(y - ref).max()) < 2e-5
+
+    def test_unetcfg_fold_matches_default_graph(self, monkeypatch):
+        """UNetCFG1d forward with AA_LDM_GN=1 (folded grouped GN) must
+        match the default graph on the same params."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.models.unet_cfg1d import UNetCFG1d
+
+        model = UNetCFG1d(in_channels=4, channels=64, multipliers=(2, 2),
+                          factors=(2,), num_blocks=(1,), attentions=(0, 0),
+                          attention_heads=2, attention_features=8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 64))
+        tt = jnp.array([0.3, 0.7])
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 512))
+        monkeypatch.setenv("AA_LDM_GN", "0")
+        params = model.init({"params": jax.random.PRNGKey(2)}, x, tt,
+                            embedding=emb)
+        v0 = model.apply(params, x, tt, embedding=emb)
+        monkeypatch.setenv("AA_LDM_GN", "1")
+        v1 = model.apply(params, x, tt, embedding=emb)
+        assert float(jnp.abs(v1 - v0).max()) < 2e-5
+
     def test_residual_and_stats_paths_agree(self):
         """residual + gelu through the XLA-stats default vs the Pallas
         stats pass: bit-comparable results (same f32 accumulation)."""
