@@ -162,6 +162,13 @@ def resample_diffusion(model_fn: Callable, audio_latents: jnp.ndarray,
     alpha, sigma = get_alphas_sigmas(step_list[-1])
     noise = jax.random.normal(key, audio_latents.shape, audio_latents.dtype)
     noised = audio_latents * alpha + noise * sigma
+    tail = step_list[::-1][:-1]
+    if tail.shape[0] == 0:
+        # few steps x low noise_level can truncate the schedule to nothing
+        # (e.g. steps=2, noise_level=0.5): zero denoising evaluations —
+        # the partially-noised latents ARE the result (was: IndexError
+        # from a fori_loop over a length-0 schedule)
+        return noised
     return sample_manual(model_fn, noised, steps, eta,
-                         step_list=step_list[::-1][:-1],
+                         step_list=tail,
                          key=jax.random.fold_in(key, 1), **extra_args)

@@ -21,7 +21,9 @@ Generate spec (all keys optional except at least one prompt source):
    "algebra": false,                   # weighted-sum vs slerp combine
    "interp": 0.5,                      # slerp t (two+ prompts, no algebra)
    "cfg_scale": 4.0, "steps": 150, "outer_steps": 100,
-   "batch_size": 1, "seed": -1}
+   "batch_size": 1, "seed": -1,
+   "init_audio_b64": "<base64 WAV>",    # img2img init (loop-repeated)
+   "init_strength": 0.4}
 
 The embed/combine semantics mirror `mirage.process_audio` (reference
 mirage.py:255-453): slerp interpolation between prompts by default, or the
@@ -192,6 +194,23 @@ class MirageService:
         with self.lock:
             return np.asarray(self.model.embed(audio), np.float32)
 
+    def _init_latents_from_bytes(self, data: bytes) -> np.ndarray:
+        """Decode audio bytes, loop-repeat to sample_size, encode to
+        stage-2 latents (reference mirage.py:392-409)."""
+        from audio_algebra_tpu.utils.audio_io import load_audio
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            audio = load_audio(path, sr=48000)
+        finally:
+            os.unlink(path)
+        need = int(self.model.sample_size)
+        reps = int(np.ceil(need / audio.shape[-1]))
+        looped = np.tile(audio, (1, reps))[:, :need]
+        with self.lock:
+            return np.asarray(self.model.encode_audio_latents(looped[None]))
+
     # --------------------------------------------------------- generate ---
     def generate_wav(self, spec: dict) -> tuple[bytes, dict]:
         """Run embed -> combine -> generate -> crossfade; returns
@@ -230,7 +249,16 @@ class MirageService:
         cfg_scale = float(spec.get("cfg_scale", 4.0))
         batch_size = int(spec.get("batch_size", 1))
 
-        if self.batcher is not None and batch_size == 1 and seed < 0:
+        init_latents = None
+        if spec.get("init_audio_b64"):
+            # img2img: partial-noise init from looping audio (reference
+            # mirage.py:392-409); base64 WAV/MP3 in the JSON spec
+            import base64
+            raw = base64.b64decode(spec["init_audio_b64"])
+            init_latents = self._init_latents_from_bytes(raw)
+
+        if (self.batcher is not None and batch_size == 1 and seed < 0
+                and init_latents is None):
             # coalescible: one variation, no pinned RNG
             fakes = self.batcher.submit(
                 emb, (steps, outer_steps, cfg_scale))[None]
@@ -243,6 +271,8 @@ class MirageService:
                 fakes, _ = self.model.generate(
                     emb, cfg_scales=cfg_scale, demo_steps=steps,
                     outer_steps=outer_steps, batch_size=batch_size,
+                    init_audio_latents=init_latents,
+                    init_strength=float(spec.get("init_strength", 0.4)),
                     flatten=False)
                 self.requests_served += 1
 

@@ -80,6 +80,16 @@ def test_resample_diffusion_low_noise_preserves():
     np.testing.assert_allclose(np.asarray(out), np.asarray(X0), atol=1e-2)
 
 
+def test_resample_diffusion_empty_schedule():
+    """Few steps x low noise_level truncate the schedule to zero model
+    evaluations (steps=2, noise_level=0.5) — must return the partially
+    noised latents, not crash on a length-0 fori_loop (regression)."""
+    out = resample_diffusion(oracle_v, X0, steps=2, noise_level=0.5,
+                             key=jax.random.PRNGKey(4))
+    assert out.shape == X0.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_vdenoiser_consistency():
     den = VDenoiser(oracle_v)
     # at any sigma, the denoised estimate of a consistent noisy input is X0

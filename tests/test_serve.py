@@ -82,6 +82,24 @@ def test_generate_returns_playable_wav(server):
     assert np.isfinite(pcm).all() and np.abs(pcm).max() <= 32767
 
 
+def test_generate_with_init_audio(server):
+    """img2img path: base64 WAV init audio -> resample/loop -> latents ->
+    partial-noise generation (reference mirage.py:392-409)."""
+    import base64
+    rng = np.random.default_rng(3)
+    wav = encode_wav(np.tanh(rng.standard_normal((2, 2048))) * 0.5, 48000)
+    spec = {"text": ["warm pad"], "steps": 2, "outer_steps": 2,
+            "init_audio_b64": base64.b64encode(wav).decode(),
+            "init_strength": 0.5}
+    c = _conn(server)
+    c.request("POST", "/generate", json.dumps(spec),
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    with wave.open(io.BytesIO(r.read())) as w:
+        assert w.getnframes() > 0
+
+
 def test_micro_batching_coalesces_concurrent_requests():
     """4 concurrent same-config requests must run as ONE padded generate
     (the TPU serving win: per-item throughput at batch 4 ~2.7x batch 1),
