@@ -10,3 +10,4 @@ riding ICI.
 
 from .mesh import make_mesh, batch_sharding, replicated  # noqa: F401
 from .train import make_data_parallel_step, shard_batch, host_device_count  # noqa: F401
+from .infer import decode_unet_seqpar, pick_sharded_levels  # noqa: F401

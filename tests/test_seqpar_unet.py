@@ -1,0 +1,100 @@
+"""Sequence-parallel decode UNet (parallel/infer.py) vs the unsharded model.
+
+The full DiffusionAttnUnet1D forward — entry concat, sharded outer levels
+(halo convs, psum GroupNorm stats, halo'd stride-2 resamplers), the
+replicated attention core, re-scatter, sharded up sweep with local skips —
+must reproduce the single-program model to float32 tolerance on the
+virtual 8-device mesh.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_algebra_tpu.models.unet1d import DiffusionAttnUnet1D
+from audio_algebra_tpu.parallel.mesh import make_mesh
+from audio_algebra_tpu.parallel.infer import (
+    decode_unet_seqpar, pick_sharded_levels)
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.sqrt(((a - b) ** 2).mean() / max((b ** 2).mean(), 1e-20))
+
+
+CFGS = [
+    # decode-UNet shape class: conditioned, attention on the deepest level,
+    # channel boundary between levels
+    dict(io_channels=2, cond_dim=4, n_attn_layers=1, c_mults=(8, 8, 16, 16)),
+    # unconditioned, no attention (the stacked-LDM class)
+    dict(io_channels=4, cond_dim=0, n_attn_layers=0, c_mults=(8, 16)),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cfg", CFGS, ids=["attn-cond", "plain"])
+def test_seqpar_matches_unsharded(cfg):
+    t_len, batch, shards = 512, 2, 4
+    model = DiffusionAttnUnet1D(**cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (batch, cfg["io_channels"], t_len), jnp.float32)
+    t = jnp.array([0.3, 0.8], jnp.float32)
+    cond = None
+    if cfg["cond_dim"]:
+        cond = jax.random.normal(jax.random.PRNGKey(2),
+                                 (batch, cfg["cond_dim"], 16), jnp.float32)
+    params = model.init(rng, x, t, cond)
+    want = model.apply(params, x, t, cond)
+
+    mesh = make_mesh(n_devices=shards, axis_names=("seq",))
+    got = decode_unet_seqpar(params, x, t, cond, mesh=mesh, axis="seq",
+                             **cfg)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-6, _rel(got, want)
+
+
+@pytest.mark.slow
+def test_seqpar_replicated_fallback_and_auto_levels():
+    """sharded_levels=0 (fully replicated core) must also agree, and the
+    auto level picker must respect the attention boundary."""
+    cfg = CFGS[0]
+    t_len = 512
+    model = DiffusionAttnUnet1D(**cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 2, t_len), jnp.float32)
+    t = jnp.array([0.5], jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, cond)
+    want = model.apply(params, x, t, cond)
+
+    mesh = make_mesh(n_devices=8, axis_names=("seq",))
+    got = decode_unet_seqpar(params, x, t, cond, mesh=mesh, axis="seq",
+                             sharded_levels=0, **cfg)
+    assert _rel(got, want) < 1e-6
+
+    depth = len(cfg["c_mults"])
+    attn_start = depth - cfg["n_attn_layers"]
+    j = pick_sharded_levels(t_len, 8, depth, attn_start)
+    assert 0 < j <= attn_start
+    # every sharded level keeps an even local slab
+    for lvl in range(j):
+        assert (t_len >> lvl) % (2 * 8) == 0
+
+
+def test_seqpar_under_jit():
+    """The whole sharded forward must trace into one jit program."""
+    cfg = CFGS[1]
+    model = DiffusionAttnUnet1D(**cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 256), jnp.float32)
+    t = jnp.array([0.1, 0.9], jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, None)
+    mesh = make_mesh(n_devices=4, axis_names=("seq",))
+
+    @jax.jit
+    def run(params, x, t):
+        return decode_unet_seqpar(params, x, t, None, mesh=mesh,
+                                  axis="seq", **cfg)
+
+    want = model.apply(params, x, t, None)
+    got = run(params, x, t)
+    assert _rel(got, want) < 1e-6
