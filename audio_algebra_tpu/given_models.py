@@ -379,6 +379,43 @@ class DVAEWrapper(GivenModelClass):
         b, d, n = fakes.shape                         # 'b d n -> d (b n)'
         return jnp.swapaxes(fakes, 0, 1).reshape(d, b * n)
 
+    def decode_seqpar(self, reps, mesh, axis: str = "seq",
+                      demo_steps: Optional[int] = None,
+                      sharded_levels: Optional[int] = None):
+        """decode() with the diffusion UNet SEQUENCE-PARALLEL over
+        mesh[`axis`] (parallel/infer.py): one oversized window decodes
+        across chips instead of being chunked+crossfaded, with only conv
+        halos and GroupNorm statistics crossing ICI. Same sampler, same
+        crash schedule, same stored noise — numerically matches decode()
+        to float tolerance (tests/test_seqpar_unet.py). bf16/f32 only
+        (turbo int8 targets the single-chip batch-serving case)."""
+        from .parallel.infer import decode_unet_seqpar
+        if demo_steps is None:
+            demo_steps = self.demo_steps
+        self._ensure_params()
+        noise = self.noise
+        if noise is None or noise.shape[0] != reps.shape[0]:
+            noise = jax.random.normal(
+                self.next_key(), (reps.shape[0], 2, self.demo_samples))
+        m = self.model
+        cfg = dict(io_channels=m.io_channels, cond_dim=m.latent_dim,
+                   n_attn_layers=m.n_attn_layers,
+                   c_mults=tuple(m.diffusion_c_mults),
+                   pqmf_bands=m.pqmf_bands)
+
+        def decode_fn(p, n, r):
+            model_fn = lambda x, t, cond: decode_unet_seqpar(
+                p["params"]["diffusion"], x, t, cond, mesh=mesh, axis=axis,
+                sharded_levels=sharded_levels, **cfg)
+            return vddim_sample(model_fn, n, demo_steps, 0, r)
+
+        fn = self._cached_jit(
+            f"decode_seqpar{demo_steps}_{reps.shape}_{axis}{mesh.shape[axis]}",
+            decode_fn)
+        fakes = fn(self.params_ema, noise, reps)
+        b, d, n = fakes.shape                         # 'b d n -> d (b n)'
+        return jnp.swapaxes(fakes, 0, 1).reshape(d, b * n)
+
     def setup(self, gdrive: bool = True):
         ckpt_file = os.path.expanduser(self.ckpt_info['ckpt_path'])
         print(f"DVAE: attempting to load checkpoint {ckpt_file}")

@@ -98,3 +98,26 @@ def test_seqpar_under_jit():
     want = model.apply(params, x, t, None)
     got = run(params, x, t)
     assert _rel(got, want) < 1e-6
+
+
+@pytest.mark.slow
+def test_dvae_decode_seqpar_matches_decode():
+    """The wrapper-level seq-par diffusion decode (DVAEWrapper.decode_seqpar)
+    must reproduce the single-program decode() — same stored noise, same
+    crash-schedule sampler, UNet time-sharded over 4 shards."""
+    from audio_algebra_tpu.given_models import DVAEWrapper
+
+    w = DVAEWrapper(args_dict={"sample_size": 2048, "latent_dim": 8,
+                               "demo_steps": 3},
+                    model_kwargs=dict(capacity=4, c_mults=(2, 4),
+                                      strides=(4, 2), n_attn_layers=1,
+                                      diffusion_c_mults=(8, 16, 16)),
+                    debug=False)
+    audio = np.random.default_rng(0).standard_normal((2, 2, 2048)) \
+        .astype(np.float32)
+    reps = w.encode(jnp.asarray(audio))
+    want = w.decode(reps)
+    mesh = make_mesh(n_devices=4, axis_names=("seq",))
+    got = w.decode_seqpar(reps, mesh)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5, _rel(got, want)
