@@ -9,6 +9,9 @@ steady-state latency is exactly the `generate()` wall time recorded in
 BASELINE.md (1.8-4.8x realtime at batch 1-8 on one v5e).
 
 Endpoints:
+  GET  /          -> dependency-free HTML GUI (prompt boxes, slerp/algebra
+                     controls, init-audio upload, inline player — the
+                     reference's Gradio Blocks role)
   GET  /health    -> {"ok": true, "model": "22s", "sample_size": N, ...}
   POST /embed     -> {"text": "..."} JSON, or WAV/MP3 bytes with an audio/*
                      Content-Type -> {"embedding": [[[...512 floats]]]}
@@ -60,6 +63,77 @@ def encode_wav(audio: np.ndarray, sample_rate: int = 48000) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(pcm.T.tobytes())           # interleave channels
     return buf.getvalue()
+
+
+_GUI_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>MIRAGE</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:680px;margin:2rem auto;
+      padding:0 1rem;color:#222}
+ h1{font-weight:600} fieldset{border:1px solid #ccc;border-radius:8px;
+      margin:0 0 1rem;padding:.75rem 1rem}
+ label{display:block;margin:.4rem 0 .15rem;font-size:.85rem;color:#555}
+ input[type=text],input[type=number]{width:100%;box-sizing:border-box;
+      padding:.4rem;border:1px solid #bbb;border-radius:6px}
+ .row{display:flex;gap:.75rem}.row>div{flex:1}
+ button{padding:.55rem 1.4rem;border:0;border-radius:8px;background:#333;
+      color:#fff;font-size:1rem;cursor:pointer}
+ button:disabled{background:#999}
+ audio{width:100%;margin-top:1rem}
+ #status{margin-left:1rem;color:#777;font-size:.9rem}
+</style></head><body>
+<h1>MIRAGE &mdash; text-to-audio algebra</h1>
+<p>Browser front-end for the <code>/generate</code> endpoint (the
+reference app's Gradio GUI, rebuilt dependency-free).</p>
+<fieldset><legend>Prompts</legend>
+ <label>Prompt A</label><input type="text" id="pa" value="low brass">
+ <label>Prompt B (optional; slerp or algebra)</label>
+ <input type="text" id="pb" value="">
+ <div class="row">
+  <div><label>Interp t (slerp)</label>
+   <input type="number" id="interp" value="0.5" step="0.05" min="0" max="1"></div>
+  <div><label><input type="checkbox" id="algebra"> weighted algebra</label>
+   <label>Weights (comma-sep)</label>
+   <input type="text" id="weights" value="1.0, -0.5"></div>
+ </div>
+</fieldset>
+<fieldset><legend>Sampler</legend>
+ <div class="row">
+  <div><label>Inner steps</label><input type="number" id="steps" value="150"></div>
+  <div><label>Outer steps</label><input type="number" id="outer" value="100"></div>
+  <div><label>CFG scale</label><input type="number" id="cfg" value="4.0" step="0.5"></div>
+  <div><label>Variations</label><input type="number" id="bs" value="1" min="1" max="8"></div>
+ </div>
+ <label>Init audio (optional, img2img)</label>
+ <input type="file" id="init" accept="audio/*">
+ <label>Init strength</label>
+ <input type="number" id="strength" value="0.4" step="0.05" min="0" max="1">
+</fieldset>
+<button id="go">Generate</button><span id="status"></span>
+<audio id="out" controls></audio>
+<script>
+const $=id=>document.getElementById(id);
+$('go').onclick=async()=>{
+ const spec={text:[$('pa').value], steps:+$('steps').value,
+   outer_steps:+$('outer').value, cfg_scale:+$('cfg').value,
+   batch_size:+$('bs').value, interp:+$('interp').value};
+ if($('pb').value) spec.text.push($('pb').value);
+ if($('algebra').checked){spec.algebra=true;
+   spec.weights=$('weights').value.split(',').map(Number);}
+ const f=$('init').files[0];
+ if(f){const buf=await f.arrayBuffer();
+   spec.init_audio_b64=btoa(String.fromCharCode(...new Uint8Array(buf)));
+   spec.init_strength=+$('strength').value;}
+ $('go').disabled=true;$('status').textContent='generating\\u2026';
+ try{
+  const r=await fetch('/generate',{method:'POST',body:JSON.stringify(spec)});
+  if(!r.ok){throw new Error((await r.json()).error)}
+  $('out').src=URL.createObjectURL(await r.blob());$('out').play();
+  $('status').textContent='done ('+(r.headers.get('X-Generate-Info')||'')+')';
+ }catch(e){$('status').textContent='error: '+e.message}
+ $('go').disabled=false;
+};
+</script></body></html>"""
 
 
 class _Pending:
@@ -165,7 +239,7 @@ class MirageService:
                  half: bool = True, verbose: bool = True,
                  batch_window_s: float = 0.0, max_batch: int = 8):
         if model is None:
-            from mirage import get_model_ready
+            from .embedding_math import get_model_ready
             model = get_model_ready(model_choice, verbose=verbose, half=half)
         self.model = model
         self.model_choice = model_choice
@@ -215,7 +289,8 @@ class MirageService:
     def generate_wav(self, spec: dict) -> tuple[bytes, dict]:
         """Run embed -> combine -> generate -> crossfade; returns
         (wav_bytes, info). Mirrors mirage.process_audio's combine rules."""
-        from mirage import interp_embeddings, weighted_algebra
+        from .embedding_math import (interp_embeddings,
+                                     weighted_algebra)
         from audio_algebra_tpu.utils.audio_io import crossfade_flatten
 
         texts = spec.get("text") or []
@@ -308,7 +383,9 @@ def _make_handler(service: MirageService):
             self._send(code, json.dumps(obj).encode(), "application/json")
 
         def do_GET(self):
-            if self.path.rstrip("/") in ("", "/health"):
+            if self.path.rstrip("/") == "":
+                self._send(200, _GUI_HTML.encode(), "text/html; charset=utf-8")
+            elif self.path.rstrip("/") == "/health":
                 self._send_json(200, service.health())
             else:
                 self._send_json(404, {"error": f"no route {self.path}"})

@@ -163,3 +163,16 @@ def test_generate_algebra_and_errors(server):
     c3 = _conn(server)
     c3.request("GET", "/health")
     assert c3.getresponse().status == 200
+
+
+def test_gui_page(server):
+    """GET / serves the dependency-free HTML GUI (the reference's Gradio
+    Blocks role, reference mirage.py:520-651)."""
+    c = _conn(server)
+    c.request("GET", "/")
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type", "").startswith("text/html")
+    page = r.read().decode()
+    for needle in ("MIRAGE", "/generate", "algebra", "init_audio_b64"):
+        assert needle in page
