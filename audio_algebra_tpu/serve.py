@@ -121,8 +121,10 @@ $('go').onclick=async()=>{
  if($('algebra').checked){spec.algebra=true;
    spec.weights=$('weights').value.split(',').map(Number);}
  const f=$('init').files[0];
- if(f){const buf=await f.arrayBuffer();
-   spec.init_audio_b64=btoa(String.fromCharCode(...new Uint8Array(buf)));
+ if(f){const u=new Uint8Array(await f.arrayBuffer());let s='';
+   for(let i=0;i<u.length;i+=0x8000)
+     s+=String.fromCharCode.apply(null,u.subarray(i,i+0x8000));
+   spec.init_audio_b64=btoa(s);
    spec.init_strength=+$('strength').value;}
  $('go').disabled=true;$('status').textContent='generating\\u2026';
  try{
