@@ -953,6 +953,80 @@ class CLAPDAE(GivenModelClass):
             fakes = jnp.swapaxes(fakes, 0, 1).reshape(d, b * n)
         return fakes, fake_latents
 
+    def generate_seqpar(self, audio_embeddings, mesh, axis: str = "seq",
+                        cfg_scales=4, demo_steps: int = 150,
+                        outer_steps: int = 100, batch_size: int = 1,
+                        flatten: bool = True,
+                        sharded_levels: Optional[int] = None):
+        """generate() with the OUTER stage sequence-parallel over
+        mesh[`axis`]: the 100-step stage-1 diffusion — virtually all of
+        MIRAGE's FLOPs, at the audio-rate-/32 sequence — runs through
+        parallel.decode_unet_seqpar (halo convs + psum GroupNorm stats
+        over ICI; the stacked UNet has no attention so every level but
+        the bottleneck can shard). The inner CFG latent stage (tiny T)
+        stays single-program, and the single AE-decode forward (<1% of
+        outer-stage FLOPs) runs replicated on every shard. Multi-chip
+        latency path for one generation at batch 1 — the reference can
+        only batch variations on one GPU (reference mirage.py:696).
+
+        Draws RNG in the same order as generate(), so with the same
+        starting key the two produce the same audio (asserted in
+        tests/test_seqpar_unet.py)."""
+        from .parallel.infer import decode_unet_seqpar
+        self._ensure_params()
+        cdtype = jax.tree_util.tree_leaves(self.ldm_params)[0].dtype
+        embeddings = jnp.asarray(audio_embeddings).astype(cdtype)
+        if isinstance(cfg_scales, list):
+            cfg_scales = cfg_scales[0]
+        cfg_scale = float(cfg_scales)
+        n_latent = self.demo_samples // self.downsampling_ratio
+
+        latent_noise = jax.random.normal(
+            self.next_key(), (batch_size, self.latent_dim, n_latent),
+            dtype=cdtype)
+
+        def sample_fn(p, noise, emb):
+            fn = lambda x, t, embedding: \
+                self.latent_diffusion_model.apply(
+                    p, x, t, embedding=embedding,
+                    embedding_scale=cfg_scale)
+            return jnp.clip(
+                kdiff_sample(fn, noise, demo_steps, embedding=emb),
+                -1, 1)
+
+        fake_latents = self._cached_jit(
+            f"ldc_sample{demo_steps}_{latent_noise.shape}_{cfg_scale}",
+            sample_fn)(self.ldm_params, latent_noise, embeddings)
+
+        la = self.latent_diffae
+        s1_noise = jax.random.normal(
+            self.next_key(),
+            (batch_size, la.latent_dim,
+             fake_latents.shape[2] * la.latent_downsampling_ratio),
+            dtype=cdtype)
+        ucfg = dict(io_channels=la.latent_dim,
+                    cond_dim=la.second_stage_latent_dim,
+                    n_attn_layers=0, c_mults=tuple(la.diffusion_c_mults),
+                    depth=la.diffusion_depth)
+
+        def outer_seqpar_fn(p, noise, lat, key):
+            s1_fn = lambda x, t, cond: decode_unet_seqpar(
+                p["params"]["diffusion"], x, t, cond, mesh=mesh, axis=axis,
+                sharded_levels=sharded_levels, **ucfg)
+            first = vddim_sample(s1_fn, noise, outer_steps, 0, lat, key=key)
+            return la.apply(
+                p, jnp.clip(first, -1, 1),
+                method=LatentAudioDiffusionAutoencoder.decode_first_stage)
+
+        fakes = self._cached_jit(
+            f"outer_seqpar{outer_steps}_{s1_noise.shape}_{axis}"
+            f"{mesh.shape[axis]}", outer_seqpar_fn)(
+            self.diffae_params, s1_noise, fake_latents, self.next_key())
+        if flatten:
+            b, d, n = fakes.shape
+            fakes = jnp.swapaxes(fakes, 0, 1).reshape(d, b * n)
+        return fakes, fake_latents
+
     def decode(self, *args, **kwargs):
         return self.generate(*args, **kwargs)
 

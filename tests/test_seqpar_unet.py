@@ -121,3 +121,31 @@ def test_dvae_decode_seqpar_matches_decode():
     got = w.decode_seqpar(reps, mesh)
     assert got.shape == want.shape
     assert _rel(got, want) < 1e-5, _rel(got, want)
+
+
+@pytest.mark.slow
+def test_clapdae_generate_seqpar_matches_generate():
+    """MIRAGE's outer stage sequence-parallel (CLAPDAE.generate_seqpar)
+    must reproduce generate() exactly under the same starting PRNG key
+    (same draw order: inner noise, stage-1 noise, sampler key)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_given_models import TINY_CLAPDAE
+    from audio_algebra_tpu.given_models import CLAPDAE
+
+    w = CLAPDAE(**TINY_CLAPDAE)
+    w.demo_samples = 4096
+    emb = jax.random.normal(jax.random.PRNGKey(9), (1, 1, 512), jnp.float32)
+    emb = emb / jnp.linalg.norm(emb)
+
+    w._ensure_params()              # param init draws keys; do it up front
+    w._key = jax.random.PRNGKey(42)
+    want, want_lat = w.generate(emb, cfg_scales=2, demo_steps=2,
+                                outer_steps=3)
+    mesh = make_mesh(n_devices=4, axis_names=("seq",))
+    w._key = jax.random.PRNGKey(42)
+    got, got_lat = w.generate_seqpar(emb, mesh, cfg_scales=2, demo_steps=2,
+                                     outer_steps=3)
+    assert got.shape == want.shape
+    assert _rel(got_lat, want_lat) < 1e-6      # identical inner stage
+    assert _rel(got, want) < 1e-5, _rel(got, want)
