@@ -409,8 +409,13 @@ class DVAEWrapper(GivenModelClass):
                 sharded_levels=sharded_levels, **cfg)
             return vddim_sample(model_fn, n, demo_steps, 0, r)
 
+        # key carries sharded_levels + the mesh's device identity: a later
+        # call with a different level split or a same-shaped mesh over
+        # DIFFERENT devices must not reuse the first compiled closure
+        mesh_id = tuple(d.id for d in mesh.devices.flat)
         fn = self._cached_jit(
-            f"decode_seqpar{demo_steps}_{reps.shape}_{axis}{mesh.shape[axis]}",
+            f"decode_seqpar{demo_steps}_{reps.shape}_{axis}{mesh.shape[axis]}"
+            f"_lv{sharded_levels}_m{mesh_id}",
             decode_fn)
         fakes = fn(self.params_ema, noise, reps)
         b, d, n = fakes.shape                         # 'b d n -> d (b n)'
@@ -1018,9 +1023,11 @@ class CLAPDAE(GivenModelClass):
                 p, jnp.clip(first, -1, 1),
                 method=LatentAudioDiffusionAutoencoder.decode_first_stage)
 
+        mesh_id = tuple(d.id for d in mesh.devices.flat)
         fakes = self._cached_jit(
             f"outer_seqpar{outer_steps}_{s1_noise.shape}_{axis}"
-            f"{mesh.shape[axis]}", outer_seqpar_fn)(
+            f"{mesh.shape[axis]}_lv{sharded_levels}_m{mesh_id}",
+            outer_seqpar_fn)(
             self.diffae_params, s1_noise, fake_latents, self.next_key())
         if flatten:
             b, d, n = fakes.shape

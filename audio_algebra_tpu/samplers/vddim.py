@@ -159,6 +159,11 @@ def resample_diffusion(model_fn: Callable, audio_latents: jnp.ndarray,
 
     t = np.linspace(0.0, 1.0, steps + 1)
     step_list = jnp.asarray(t[t < noise_level], jnp.float32)
+    if step_list.shape[0] == 0:
+        # noise_level <= 0 (e.g. init_strength >= 1.0 upstream): the
+        # schedule truncates to NOTHING — no noising, no denoising; the
+        # input latents pass through (was: IndexError on step_list[-1])
+        return audio_latents
     alpha, sigma = get_alphas_sigmas(step_list[-1])
     noise = jax.random.normal(key, audio_latents.shape, audio_latents.dtype)
     noised = audio_latents * alpha + noise * sigma

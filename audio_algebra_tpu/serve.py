@@ -6,7 +6,9 @@ This module is the production serving surface of the rebuild: a stdlib
 `ThreadingHTTPServer` wrapping ONE warm `CLAPDAE`, with requests serialized
 onto the single chip by a lock. All jit programs are cached per shape, so
 steady-state latency is exactly the `generate()` wall time recorded in
-BASELINE.md (1.8-4.8x realtime at batch 1-8 on one v5e).
+BASELINE.md (1.8-4.8x realtime at batch 1-8 on one v5e). Set
+MIRAGE_USERNAME + MIRAGE_PASSWORD to require basic auth on every route
+except /health (the reference GUI's auth contract, mirage.py:639).
 
 Endpoints:
   GET  /          -> dependency-free HTML GUI (prompt boxes, slerp/algebra
@@ -48,6 +50,30 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["MirageService", "make_server", "main"]
+
+
+def _sniff_suffix(data: bytes) -> str:
+    """Pick the loader extension from the magic bytes: RIFF/WAVE -> .wav,
+    anything else (ID3 tag or bare MPEG sync) -> .mp3. The GUI file input
+    accepts audio/* and posts raw bytes, so the extension must come from
+    the content, not the route."""
+    return ".wav" if data[:4] == b"RIFF" else ".mp3"
+
+
+def _decode_audio_bytes(data: bytes, suffix: Optional[str] = None
+                        ) -> np.ndarray:
+    """Posted audio bytes -> (C, N) float32 at 48 kHz via the repo loader
+    (WAV + MP3 through the native codec). One shared path for /embed and
+    the init-audio decode so fixes can't drift between them."""
+    from audio_algebra_tpu.utils.audio_io import load_audio
+    with tempfile.NamedTemporaryFile(suffix=suffix or _sniff_suffix(data),
+                                     delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        return load_audio(path, sr=48000)
+    finally:
+        os.unlink(path)
 
 
 def encode_wav(audio: np.ndarray, sample_rate: int = 48000) -> bytes:
@@ -246,41 +272,44 @@ class MirageService:
         self.model = model
         self.model_choice = model_choice
         self.lock = threading.Lock()
-        self.verbose = verbose
+        self._stats_lock = threading.Lock()   # requests_served is bumped
+        self.verbose = verbose                # from concurrent handlers
         self.requests_served = 0
+        self.max_batch = max_batch
+        # basic auth, same env contract as the reference GUI launch()
+        # (reference mirage.py:639): both vars set -> required on every
+        # route except /health
+        user = os.environ.get("MIRAGE_USERNAME", "")
+        pw = os.environ.get("MIRAGE_PASSWORD", "")
+        self.auth: Optional[tuple] = (user, pw) if user and pw else None
         self.batcher = (_MicroBatcher(self, batch_window_s, max_batch)
                         if batch_window_s > 0 else None)
+
+    def _count_request(self):
+        with self._stats_lock:
+            self.requests_served += 1
 
     # ------------------------------------------------------------ embed ---
     def embed_text(self, text: str) -> np.ndarray:
         with self.lock:
             return np.asarray(self.model.embed(text), np.float32)
 
-    def embed_audio_bytes(self, data: bytes, suffix: str = ".wav") -> np.ndarray:
-        """Decode posted audio via the repo loader (WAV + MP3 through the
-        native codec), embed. Resampling to 48k happens in load_audio."""
-        from audio_algebra_tpu.utils.audio_io import load_audio
-        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
-            f.write(data)
-            path = f.name
-        try:
-            audio = load_audio(path, sr=48000)
-        finally:
-            os.unlink(path)
+    def embed_audio_bytes(self, data: bytes,
+                          suffix: Optional[str] = None) -> np.ndarray:
+        """Decode posted audio (suffix sniffed from the bytes when not
+        forced by Content-Type), embed. Resampling happens in load_audio."""
+        audio = _decode_audio_bytes(data, suffix)
         with self.lock:
             return np.asarray(self.model.embed(audio), np.float32)
 
     def _init_latents_from_bytes(self, data: bytes) -> np.ndarray:
         """Decode audio bytes, loop-repeat to sample_size, encode to
         stage-2 latents (reference mirage.py:392-409)."""
-        from audio_algebra_tpu.utils.audio_io import load_audio
-        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-            f.write(data)
-            path = f.name
-        try:
-            audio = load_audio(path, sr=48000)
-        finally:
-            os.unlink(path)
+        audio = _decode_audio_bytes(data)
+        if audio.shape[0] == 1:
+            # mono -> stereo duplication, matching the CLI path (the AE
+            # encoder is 2-channel; mirage.unpack_audio_tup does the same)
+            audio = np.concatenate([audio, audio], axis=0)
         need = int(self.model.sample_size)
         reps = int(np.ceil(need / audio.shape[-1]))
         looped = np.tile(audio, (1, reps))[:, :need]
@@ -321,10 +350,26 @@ class MirageService:
                 emb = interp_embeddings(emb, extra, t)
 
         seed = int(spec.get("seed", -1))
+        # validate sampler params: each distinct (steps, shape, cfg) value
+        # compiles a fresh XLA program under the chip lock and lives in the
+        # jit cache forever, so out-of-range client values are a 400, not a
+        # new compile. Ranges match the reference GUI sliders (steps 10-250,
+        # mirage.py:588-590) with headroom; batch caps at the reference's
+        # max variation batch (mirage.py:696).
         steps = int(spec.get("steps", 150))
         outer_steps = int(spec.get("outer_steps", 100))
         cfg_scale = float(spec.get("cfg_scale", 4.0))
         batch_size = int(spec.get("batch_size", 1))
+        if not 1 <= steps <= 500:
+            raise ValueError(f"steps={steps} out of range [1, 500]")
+        if not 1 <= outer_steps <= 500:
+            raise ValueError(f"outer_steps={outer_steps} out of range "
+                             f"[1, 500]")
+        if not 1 <= batch_size <= self.max_batch:
+            raise ValueError(f"batch_size={batch_size} out of range "
+                             f"[1, {self.max_batch}]")
+        if not (np.isfinite(cfg_scale) and -100.0 <= cfg_scale <= 100.0):
+            raise ValueError(f"cfg_scale={cfg_scale} out of range")
 
         init_latents = None
         if spec.get("init_audio_b64"):
@@ -339,7 +384,7 @@ class MirageService:
             # coalescible: one variation, no pinned RNG
             fakes = self.batcher.submit(
                 emb, (steps, outer_steps, cfg_scale))[None]
-            self.requests_served += 1
+            self._count_request()
         else:
             with self.lock:
                 if seed >= 0:
@@ -351,7 +396,7 @@ class MirageService:
                     init_audio_latents=init_latents,
                     init_strength=float(spec.get("init_strength", 0.4)),
                     flatten=False)
-                self.requests_served += 1
+            self._count_request()
 
         out = crossfade_flatten(np.asarray(fakes, np.float32))
         info = {"batch_size": int(spec.get("batch_size", 1)),
@@ -384,7 +429,34 @@ def _make_handler(service: MirageService):
         def _send_json(self, code: int, obj) -> None:
             self._send(code, json.dumps(obj).encode(), "application/json")
 
+        def _authorized(self) -> bool:
+            """Basic auth when MIRAGE_USERNAME/MIRAGE_PASSWORD are set
+            (the reference GUI's auth contract, mirage.py:639); /health
+            stays open for probes."""
+            if service.auth is None or self.path.rstrip("/") == "/health":
+                return True
+            import base64
+            header = self.headers.get("Authorization") or ""
+            if header.startswith("Basic "):
+                try:
+                    got = base64.b64decode(header[6:]).decode()
+                except Exception:
+                    return False
+                user, _, pw = got.partition(":")
+                if (user, pw) == service.auth:
+                    return True
+            self.send_response(401)
+            self.send_header("WWW-Authenticate", 'Basic realm="MIRAGE"')
+            body = b'{"error": "unauthorized"}'
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return False
+
         def do_GET(self):
+            if not self._authorized():
+                return
             if self.path.rstrip("/") == "":
                 self._send(200, _GUI_HTML.encode(), "text/html; charset=utf-8")
             elif self.path.rstrip("/") == "/health":
@@ -393,15 +465,17 @@ def _make_handler(service: MirageService):
                 self._send_json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            if not self._authorized():
+                return
             n = int(self.headers.get("Content-Length") or 0)
             data = self.rfile.read(n)
             ctype = (self.headers.get("Content-Type") or "").lower()
             try:
                 if self.path == "/embed":
                     if ctype.startswith("audio/"):
-                        suffix = ".mp3" if "mpeg" in ctype or "mp3" in ctype \
-                            else ".wav"
-                        emb = service.embed_audio_bytes(data, suffix)
+                        # suffix sniffed from the bytes — Content-Type
+                        # subtype lies often enough (audio/* file inputs)
+                        emb = service.embed_audio_bytes(data)
                     else:
                         spec = json.loads(data or b"{}")
                         emb = service.embed_text(str(spec["text"]))
@@ -459,6 +533,11 @@ def main(argv: Optional[list] = None):
         service.generate_wav({"text": ["warmup"], "steps": 150,
                               "outer_steps": 100, "batch_size": 1})
     server = make_server(service, args.host, args.port)
+    if service.auth is None and args.host not in ("127.0.0.1", "localhost",
+                                                  "::1"):
+        print("serve: WARNING — listening on a non-loopback interface with "
+              "no auth; set MIRAGE_USERNAME and MIRAGE_PASSWORD to require "
+              "basic auth (the reference GUI's contract)")
     print(f"serve: MIRAGE ({args.model}) listening on "
           f"http://{args.host}:{server.server_address[1]}")
     try:

@@ -68,7 +68,8 @@ def half_it(x, debug: bool = False, dtype="bfloat16"):
 
 
 from audio_algebra_tpu.embedding_math import (   # noqa: E402
-    get_model_ready, lerp, slerp, interp_embeddings, weighted_algebra)
+    _model_cache, get_model_ready, lerp, slerp, interp_embeddings,
+    weighted_algebra)
 
 
 # -------------------------------------------------------- core logic ---

@@ -121,6 +121,12 @@ def test_dvae_decode_seqpar_matches_decode():
     got = w.decode_seqpar(reps, mesh)
     assert got.shape == want.shape
     assert _rel(got, want) < 1e-5, _rel(got, want)
+    # an explicit sharded_levels must compile its OWN program (the cache
+    # key carries it — a stale closure would silently ignore the knob)
+    n_cached = len(w._jit_cache)
+    got1 = w.decode_seqpar(reps, mesh, sharded_levels=1)
+    assert len(w._jit_cache) == n_cached + 1
+    assert _rel(got1, want) < 1e-5, _rel(got1, want)
 
 
 @pytest.mark.slow

@@ -176,3 +176,98 @@ def test_gui_page(server):
     page = r.read().decode()
     for needle in ("MIRAGE", "/generate", "algebra", "init_audio_b64"):
         assert needle in page
+
+
+def test_init_audio_mp3_and_mono(server):
+    """Init audio decodes by CONTENT, not by an assumed .wav extension
+    (the GUI file input accepts audio/*), and mono init audio duplicates
+    to stereo before the 2-channel latent encoder (the CLI path's
+    unpack_audio_tup contract)."""
+    import base64
+    from pathlib import Path
+    mp3 = (Path(__file__).resolve().parent.parent / "examples"
+           / "guitar_dry.mp3").read_bytes()
+    for b64 in (base64.b64encode(mp3).decode(),
+                base64.b64encode(encode_wav(
+                    np.tanh(np.random.default_rng(5).standard_normal(
+                        (1, 2048))) * 0.5, 48000)).decode()):
+        spec = {"text": ["warm pad"], "steps": 2, "outer_steps": 2,
+                "init_audio_b64": b64, "init_strength": 0.5}
+        c = _conn(server)
+        c.request("POST", "/generate", json.dumps(spec),
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 200, r.read()
+        with wave.open(io.BytesIO(r.read())) as w:
+            assert w.getnframes() > 0
+
+
+def test_init_strength_one_returns_audio(server):
+    """init_strength=1.0 (the GUI input's max) truncates the resample
+    schedule to NOTHING — the init latents pass through instead of
+    raising IndexError."""
+    import base64
+    wav = encode_wav(np.tanh(np.random.default_rng(6).standard_normal(
+        (2, 2048))) * 0.5, 48000)
+    spec = {"text": ["warm pad"], "steps": 2, "outer_steps": 2,
+            "init_audio_b64": base64.b64encode(wav).decode(),
+            "init_strength": 1.0}
+    c = _conn(server)
+    c.request("POST", "/generate", json.dumps(spec),
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200, r.read()
+    with wave.open(io.BytesIO(r.read())) as w:
+        assert w.getnframes() > 0
+
+
+def test_generate_rejects_out_of_range_params(server):
+    """Sampler params are validated BEFORE compiling anything: each
+    distinct value is a fresh XLA program in a never-evicted cache, so
+    out-of-range values are a 400, not a compile."""
+    bad = [{"steps": 0}, {"steps": 10_000}, {"outer_steps": 0},
+           {"batch_size": 99}, {"cfg_scale": float("nan")}]
+    for extra in bad:
+        spec = {"text": ["x"], "steps": 2, "outer_steps": 2, **extra}
+        c = _conn(server)
+        c.request("POST", "/generate", json.dumps(spec),
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 400, (extra, r.read())
+        assert "out of range" in json.loads(r.read())["error"]
+
+
+def test_basic_auth(monkeypatch):
+    """MIRAGE_USERNAME/MIRAGE_PASSWORD (the reference GUI's env contract,
+    reference mirage.py:639) gate every route except /health."""
+    import base64
+    monkeypatch.setenv("MIRAGE_USERNAME", "alice")
+    monkeypatch.setenv("MIRAGE_PASSWORD", "s3cret")
+    model = CLAPDAE(**TINY_CLAPDAE)
+    model.demo_samples = 4096
+    service = MirageService(model=model, model_choice="tiny", verbose=False)
+    srv = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        addr = srv.server_address
+        c = _conn(addr)
+        c.request("GET", "/health")         # probes stay open
+        assert c.getresponse().status == 200
+        c2 = _conn(addr)
+        c2.request("GET", "/")
+        r = c2.getresponse()
+        assert r.status == 401
+        assert r.getheader("WWW-Authenticate", "").startswith("Basic")
+        c3 = _conn(addr)
+        c3.request("POST", "/embed", json.dumps({"text": "hi"}),
+                   {"Content-Type": "application/json"})
+        assert c3.getresponse().status == 401
+        token = base64.b64encode(b"alice:s3cret").decode()
+        c4 = _conn(addr)
+        c4.request("POST", "/embed", json.dumps({"text": "hi"}),
+                   {"Content-Type": "application/json",
+                    "Authorization": f"Basic {token}"})
+        assert c4.getresponse().status == 200
+    finally:
+        srv.shutdown()
