@@ -354,21 +354,41 @@ def _apply_res_amax_q_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref,
 # into two tiny matmuls. MEASURED SLOWER than the 3-D path on the MIRAGE
 # stages (see dispatcher note) — dispatch-disabled by default.
 
-def _flat_apply_kernel(*refs, b: int, gelu: bool, has_res: bool):
-    """Single-phase normalise+affine(+GELU)(+residual) on the flattened
-    (T*B, C) row view — full sublane fill at ANY batch size (the (T, B, C)
-    view fills only B/16 of each bf16 tile, 6.25% at MIRAGE's B=1).
-    Statistics arrive precomputed (the XLA reduce that rides the producing
-    conv's fusion), so unlike the retired two-phase rows variant there is
-    no in-kernel stats pass to pay for. Every block starts at a multiple
-    of b, so local row i belongs to batch item i % b — a static pattern
-    materialised by a tiny (R, b) one-hot matmul."""
+def _flat_apply_kernel(*refs, b: int, gelu: bool, has_res: bool,
+                       quant: bool, emit_amax: bool, q_emit: bool):
+    """Single-phase normalise+affine(+GELU)(+residual)(+turbo extras) on
+    the flattened (T*B, C) row view — full sublane fill at ANY batch size
+    (the (T, B, C) view fills only B/16 of each bf16 tile, 6.25% at
+    MIRAGE's B=1; the int8 (32, 128) tiles only B/32). Statistics arrive
+    precomputed (the XLA reduce that rides the producing conv's fusion),
+    so there is no in-kernel stats pass to pay for. Every block starts at
+    a multiple of b, so local row i belongs to batch item i % b — a
+    static pattern materialised by a tiny (R, b) one-hot matmul.
+
+    Turbo extras mirror the (T, B, C) kernels: `quant` emits int8 on the
+    analytic per-channel grid (GN_0 -> conv2 path); `emit_amax`
+    accumulates the per-channel |out| max across the sequential grid into
+    a (1, C) block (here the rows already mix all batch items, so no
+    outer max-over-B is needed); `q_emit` adds the int8 twin of the
+    residual output on the previous diffusion step's amax grid."""
     k = 0
     x_ref = refs[k]; k += 1
     res_ref = None
     if has_res:
         res_ref = refs[k]; k += 1
-    stats_ref, scale_ref, bias_ref, o_ref = refs[k], refs[k+1], refs[k+2], refs[k+3]
+    stats_ref, scale_ref, bias_ref = refs[k], refs[k + 1], refs[k + 2]
+    k += 3
+    qinv_ref = None
+    if quant or q_emit:
+        qinv_ref = refs[k]; k += 1
+    o_ref = refs[k]; k += 1
+    amax_ref = None
+    if emit_amax:
+        amax_ref = refs[k]; k += 1
+    o8_ref = None
+    if q_emit:
+        o8_ref = refs[k]; k += 1
+
     x = x_ref[...].astype(jnp.float32)                      # (R, C)
     rows = x.shape[0]
     row_b = jax.lax.broadcasted_iota(jnp.int32, (rows, b), 0) % b
@@ -381,15 +401,35 @@ def _flat_apply_kernel(*refs, b: int, gelu: bool, has_res: bool):
         + bias_ref[0, :].astype(jnp.float32)[None, :]
     if gelu:
         y = _gelu(y)
-    if res_ref is not None:
-        y = res_ref[...].astype(jnp.float32) + y
-    o_ref[...] = y.astype(o_ref.dtype)
+    if quant:
+        qi = qinv_ref[0, :].astype(jnp.float32)[None, :]
+        o_ref[...] = jnp.clip(jnp.round(y * qi), -127, 127).astype(jnp.int8)
+        return
+    out = y if res_ref is None else res_ref[...].astype(jnp.float32) + y
+    o_ref[...] = out.astype(o_ref.dtype)
+    if o8_ref is not None:
+        qi = qinv_ref[0, :].astype(jnp.float32)[None, :]
+        o8_ref[...] = jnp.clip(jnp.round(out * qi), -127, 127
+                               ).astype(jnp.int8)
+    if amax_ref is not None:
+        ta = jnp.max(jnp.abs(out), axis=0, keepdims=True)   # (1, C)
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            amax_ref[...] = ta
+
+        @pl.when(j > 0)
+        def _acc():
+            amax_ref[...] = jnp.maximum(amax_ref[...], ta)
 
 
-def _flat_apply_launch(xt, stats2, scale, bias, residual, *, gelu, b):
+def _flat_apply_launch(xt, stats2, scale, bias, residual, *, gelu, b,
+                       quant_scale=None, emit_amax=False, q_emit_scale=None):
     """xt is the (T, B, C) view; reshape to (T*B, C) rows (bitcast) and
     normalise with precomputed stats2 (2, 128) f32 = [mu_row; rstd_row]
-    (cols 0..b-1 live). Returns the (B, T, C) tensor."""
+    (cols 0..b-1 live). Returns the (B, T, C) tensor (+ (C,) amax
+    [+ int8 twin] in the turbo variants)."""
     t_len, b_, c = xt.shape
     x2 = xt.reshape(t_len * b_, c)                # row-major: bitcast
     total = t_len * b_
@@ -404,6 +444,8 @@ def _flat_apply_launch(xt, stats2, scale, bias, residual, *, gelu, b):
     const_c = pl.BlockSpec((1, c), lambda j: (0, 0),
                            memory_space=pltpu.VMEM)
     has_res = residual is not None
+    quant = quant_scale is not None
+    q_emit = q_emit_scale is not None
     in_specs = [tile_spec]
     operands = [x2]
     if has_res:
@@ -411,22 +453,54 @@ def _flat_apply_launch(xt, stats2, scale, bias, residual, *, gelu, b):
         operands.append(jnp.swapaxes(residual, 0, 1).reshape(total, c))
     in_specs += [const_s, const_c, const_c]
     operands += [stats2, scale.reshape(1, c), bias.reshape(1, c)]
-    y2 = pl.pallas_call(
+    if quant or q_emit:
+        src = quant_scale if quant else q_emit_scale
+        qinv = (1.0 / jnp.maximum(src.astype(jnp.float32), 1e-12))
+        qinv = jnp.broadcast_to(qinv, (c,)).reshape(1, c)
+        in_specs.append(const_c)
+        operands.append(qinv)
+
+    out_dtype = jnp.int8 if quant else xt.dtype
+    out_shape = [jax.ShapeDtypeStruct((total, c), out_dtype)]
+    out_specs = [tile_spec]
+    if emit_amax:
+        out_shape.append(jax.ShapeDtypeStruct((1, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, c), lambda j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    if q_emit:
+        out_shape.append(jax.ShapeDtypeStruct((total, c), jnp.int8))
+        out_specs.append(tile_spec)
+
+    wr = 0.25 if quant else (1.25 if q_emit else 1.0)
+    res = pl.pallas_call(
         functools.partial(_flat_apply_kernel, b=b, gelu=gelu,
-                          has_res=has_res),
+                          has_res=has_res, quant=quant,
+                          emit_amax=emit_amax, q_emit=q_emit),
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((total, c), xt.dtype),
+        out_specs=out_specs[0] if len(out_specs) == 1 else tuple(out_specs),
+        out_shape=out_shape[0] if len(out_shape) == 1 else tuple(out_shape),
         interpret=_interpret(),
-        input_output_aliases={0: 0},
+        # x is dead after the apply — reuse its buffer, except when the
+        # primary output is int8 (different byte size)
+        input_output_aliases={} if quant else {0: 0},
         cost_estimate=pl.CostEstimate(
             flops=(12 if has_res else 10) * total * c,
             transcendentals=total * c if gelu else 0,
-            bytes_accessed=int(((3 if has_res else 2) + 0.0)
+            bytes_accessed=int(((2 if has_res else 1) + wr)
                                * total * c * xt.dtype.itemsize)),
     )(*operands)
-    return jnp.swapaxes(y2.reshape(t_len, b_, c), 0, 1)
+
+    def unflat(v):
+        return jnp.swapaxes(v.reshape(t_len, b_, c), 0, 1)
+
+    if q_emit:
+        y2, amax, y8 = res
+        return unflat(y2), amax[0], unflat(y8)
+    if emit_amax:
+        y2, amax = res
+        return unflat(y2), amax[0]
+    return unflat(res)
 
 
 def _rows_gn_kernel(*refs, nt: int, n: int, b: int, eps: float, gelu: bool,
@@ -689,20 +763,23 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
         # apply fills only B/16 of each bf16 tile's sublanes (6.25% at
         # MIRAGE's B=1) — normalise the flat (T*B, C) row view instead
         # (same bytes, 100% fill at any B). Needs the precomputed stats of
-        # this branch; the turbo extras never coexist with B<16
-        # (turbo_batch_ok), so only the plain/residual variants exist.
+        # this branch. The turbo extras (quant / emit_amax / q_emit) are
+        # supported too, so AA_TURBO_MIN_B + AA_GN_FLAT_MAX_B together can
+        # put the int8 MXU path in play at serving batches — that combo was
+        # 6.6x SLOWER through the (T, B, C) view (12.5% int8 sublane fill).
         # Unlike the retired AA_GN_ROWS variant there is no in-kernel
         # stats pass to pay for — but it is OFF by default (0) until an
         # on-chip A/B lands: the chip was unreachable when this was built
         # (numerics are equivalence-tested vs the (T, B, C) path).
         flat_max_b = int(_os.environ.get("AA_GN_FLAT_MAX_B", 0))
-        if (b < min(flat_max_b, 129) and quant_scale is None
-                and not emit_amax and q_emit_scale is None
-                and (t_len * b) % 8 == 0):
+        if b < min(flat_max_b, 129) and (t_len * b) % 8 == 0:
             stats2 = jnp.pad(jnp.stack([mu, rstd], axis=0),
                              ((0, 0), (0, 128 - b)))       # (2, 128)
             return _flat_apply_launch(xt, stats2, scale, bias, residual,
-                                      gelu=gelu, b=b)
+                                      gelu=gelu, b=b,
+                                      quant_scale=quant_scale,
+                                      emit_amax=emit_amax,
+                                      q_emit_scale=q_emit_scale)
         stats = jnp.pad(jnp.stack([mu, rstd], axis=-1),
                         ((0, 0), (0, 126)))[None]      # (1, B, 128)
     elif t_len * b * c <= int(_os.environ.get("AA_GN_FUSE_MAX", 8_388_608)):

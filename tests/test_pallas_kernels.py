@@ -85,6 +85,43 @@ class TestGroupNormFused:
         assert float(jnp.abs(y_flat - ref).max()) < 1e-5
         assert float(jnp.abs(y_flat - y_view).max()) < 1e-6
 
+    @pytest.mark.parametrize("b", [1, 4])
+    @pytest.mark.parametrize("variant", ["quant", "emit_amax", "q_emit"])
+    def test_flat_turbo_variants_match_view(self, b, variant, monkeypatch):
+        """The flat-row turbo extras (int8 quant emit / residual amax /
+        amax-carry int8 twin) must reproduce the (T, B, C)-view kernels
+        bit-for-bit — they are what lets AA_TURBO_MIN_B + AA_GN_FLAT_MAX_B
+        put the int8 MXU in play at MIRAGE's serving batches."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+
+        x = jax.random.normal(jax.random.PRNGKey(7), (b, 512, 128),
+                              jnp.float32) * 1.5 + 0.2
+        scale = jnp.linspace(0.7, 1.3, 128)
+        bias = jnp.linspace(-0.1, 0.1, 128)
+        res = jax.random.normal(jax.random.PRNGKey(8), x.shape, jnp.float32)
+        qs = jnp.linspace(0.02, 0.08, 128)
+        kwargs = dict(quant=dict(quant_scale=qs),
+                      emit_amax=dict(residual=res, emit_amax=True),
+                      q_emit=dict(residual=res, emit_amax=True,
+                                  q_emit_scale=qs))[variant]
+
+        def run():
+            return groupnorm1_gelu_btc(x, scale, bias, gelu=True, **kwargs)
+
+        monkeypatch.setenv("AA_GN_FLAT_MAX_B", "16")    # flat path ON
+        got = run()
+        monkeypatch.setenv("AA_GN_FLAT_MAX_B", "0")     # (T,B,C) path
+        want = run()
+        got = got if isinstance(got, tuple) else (got,)
+        want = want if isinstance(want, tuple) else (want,)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.dtype == w.dtype and g.shape == w.shape
+            assert float(jnp.abs(g.astype(jnp.float32)
+                                 - w.astype(jnp.float32)).max()) < 1e-5
+
     @pytest.mark.parametrize("b,t,c", [(1, 64, 128), (2, 256, 256),
                                        (8, 32, 512)])
     @pytest.mark.parametrize("film", [False, True])
@@ -247,6 +284,27 @@ class TestTurboInt8:
         # the emitted bound must actually bound the output
         true_amax = jnp.max(jnp.abs(turbo), axis=(0, 1))
         assert bool(jnp.all(amax >= true_amax - 1e-4))
+
+    def test_amax_threading_flat_small_batch(self, monkeypatch):
+        """The whole turbo level through the FLAT-row GN dispatch
+        (AA_GN_FLAT_MAX_B) at serving batch B=1 must match the
+        (T, B, C)-view turbo path exactly — same int8 grids, same amax."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.models.unet1d import _Stack3
+        from audio_algebra_tpu.utils.params import fast_random_params
+
+        lvl = _Stack3(256, 256, attn=False)
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 256)) * 0.6
+        params = fast_random_params(lvl, 1, jnp.zeros((1, 8, 256)))
+        monkeypatch.setenv("AA_TURBO_INT8", "1")
+        monkeypatch.setenv("AA_TURBO_MIN_B", "1")
+        want, a_want, q_want = lvl.apply(params, x)
+        monkeypatch.setenv("AA_GN_FLAT_MAX_B", "16")
+        got, a_got, q_got = lvl.apply(params, x)
+        assert float(jnp.abs(got - want).max()) < 1e-5
+        assert float(jnp.abs(a_got - a_want).max()) < 1e-5
+        assert q_got is not None and q_got[0].shape == q_want[0].shape
 
     def test_rows_variant_matches_3d_paths(self, monkeypatch):
         """The flattened-rows GN (small-batch dispatch) must agree with the
