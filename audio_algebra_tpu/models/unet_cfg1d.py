@@ -54,6 +54,27 @@ def _relative_position_bucket(rel_pos, num_buckets: int, max_distance: int):
     return ret + jnp.where(is_small, n, val_if_large)
 
 
+def toeplitz_rel_pos_bias(bias_table: jnp.ndarray, t: int,
+                          num_buckets: int, max_distance: int) -> jnp.ndarray:
+    """(num_buckets, H) bucket table -> (H, T, T) rel-pos bias by the
+    pad-reshape "skew" trick. The bias is Toeplitz: bias[t,s] =
+    table[bucket(s-t)] depends on s-t only, so gather just the (2T-1, H)
+    diagonal profile and expand it. The naive (T, T, H) gather + transpose
+    was 48% of the whole MIRAGE inner step at T=1024 (18.9 ms gather +
+    7.1 ms layout copy per attention, xprof hlo_stats); this form is two
+    dense reshapes at HBM bandwidth and builds directly in the (H, T, S)
+    layout. Module-level so the parity test pins THIS code path."""
+    heads = bias_table.shape[1]
+    delta = jnp.arange(-(t - 1), t)                       # rel = s - t
+    dbuckets = _relative_position_bucket(delta, num_buckets, max_distance)
+    diag = bias_table[dbuckets]                           # (2T-1, H)
+    prof = jnp.broadcast_to(diag.T[:, None, :],
+                            (heads, t, 2 * t - 1))
+    prof = jnp.pad(prof, ((0, 0), (0, 0), (0, 1)))
+    prof = prof.reshape(heads, 2 * t * t)[:, : t * (2 * t - 1)]
+    return prof.reshape(heads, t, 2 * t - 1)[:, :, t - 1:]
+
+
 class RelPosSelfAttention(nn.Module):
     heads: int
     head_features: int
@@ -73,22 +94,8 @@ class RelPosSelfAttention(nn.Module):
                          preferred_element_type=jnp.float32)
         bias_table = self.param("rel_pos_bias", nn.initializers.normal(0.02),
                                 (self.num_buckets, self.heads))
-        # The bias is Toeplitz: bias[t,s] = table[bucket(s-t)] depends on
-        # s-t only, so gather just the (2T-1, H) diagonal profile and
-        # expand it by the pad-reshape "skew" trick. The naive
-        # (T, T, H) gather + transpose was 48% of the whole MIRAGE inner
-        # step at T=1024 (18.9 ms gather + 7.1 ms layout copy per
-        # attention, xprof hlo_stats); this form is two dense reshapes at
-        # HBM bandwidth and builds directly in the (H, T, S) layout.
-        delta = jnp.arange(-(t - 1), t)                       # rel = s - t
-        dbuckets = _relative_position_bucket(
-            delta, self.num_buckets, self.max_distance)
-        diag = bias_table[dbuckets]                           # (2T-1, H)
-        prof = jnp.broadcast_to(diag.T[:, None, :],
-                                (self.heads, t, 2 * t - 1))
-        prof = jnp.pad(prof, ((0, 0), (0, 0), (0, 1)))
-        prof = prof.reshape(self.heads, 2 * t * t)[:, : t * (2 * t - 1)]
-        bias = prof.reshape(self.heads, t, 2 * t - 1)[:, :, t - 1:]
+        bias = toeplitz_rel_pos_bias(bias_table, t, self.num_buckets,
+                                     self.max_distance)
         att = att + bias[None]
         att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
         y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, inner)

@@ -354,6 +354,18 @@ def _apply_res_amax_q_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref,
 # into two tiny matmuls. MEASURED SLOWER than the 3-D path on the MIRAGE
 # stages (see dispatcher note) — dispatch-disabled by default.
 
+def _flat_tile_ok(t_len: int, b: int, c: int) -> bool:
+    """The flat launch halves its row tile while staying batch-aligned;
+    shapes where halving stalls (odd row counts) would hand Mosaic one
+    whole-tensor VMEM block — reject them at dispatch so the (T, B, C)
+    path takes over instead of a compile failure."""
+    tile = t_len * b
+    while tile * c > MAX_TILE_ELEMS and tile % 2 == 0 \
+            and (tile // 2) % b == 0:
+        tile //= 2
+    return tile * c <= 4 * MAX_TILE_ELEMS
+
+
 def _flat_apply_kernel(*refs, b: int, gelu: bool, has_res: bool,
                        quant: bool, emit_amax: bool, q_emit: bool):
     """Single-phase normalise+affine(+GELU)(+residual)(+turbo extras) on
@@ -772,7 +784,8 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
         # on-chip A/B lands: the chip was unreachable when this was built
         # (numerics are equivalence-tested vs the (T, B, C) path).
         flat_max_b = int(_os.environ.get("AA_GN_FLAT_MAX_B", 0))
-        if b < min(flat_max_b, 129) and (t_len * b) % 8 == 0:
+        if b < min(flat_max_b, 129) and (t_len * b) % 8 == 0 \
+                and _flat_tile_ok(t_len, b, c):
             stats2 = jnp.pad(jnp.stack([mu, rstd], axis=0),
                              ((0, 0), (0, 128 - b)))       # (2, 128)
             return _flat_apply_launch(xt, stats2, scale, bias, residual,

@@ -66,18 +66,19 @@ class RunLogger:
         """image: (H, W[, C]) array or an image file path; forwarded as
         wandb.Image when active (reference token-spectrogram images,
         train_aa_effects.py:150-158)."""
-        payload = image if isinstance(image, str) else None
-        if payload is None:
+        path = image if isinstance(image, str) else None
+        if path is None:
             import numpy as np
-            from .audio_io import save_image
-            payload = save_image(
+            from .viz import save_image
+            path = save_image(
                 np.asarray(image),
                 str(self.dir / f"{name.replace('/', '_')}_{step:08d}.png"))
-        if self.wandb is not None:
+        payload = path
+        if self.wandb is not None and path is not None:
             import wandb
-            payload = wandb.Image(payload)
+            payload = wandb.Image(path)
         self.log({name: payload}, step=step)
-        return payload if isinstance(payload, str) else None
+        return path
 
     def log_table(self, name: str, columns, rows, step: int = 0):
         """Tabular demo data; wandb.Table when active (reference

@@ -17,6 +17,38 @@ import jax
 import jax.numpy as jnp
 
 
+def wait_for_backend(retries: int = 5, delay_s: float = 30.0,
+                     configure_cache: bool = True):
+    """Initialise the JAX backend with bounded retries.
+
+    The axon relay intermittently refuses backend setup with a transient
+    "UNAVAILABLE: TPU backend setup/compile error" on first contact
+    (observed killing whole bench runs) — retry a few times before giving
+    up so one hiccup doesn't void a measurement. Also points the
+    persistent compilation cache at the repo (identical shapes then
+    compile in seconds on reruns). One shared helper: bench.py,
+    tools/bench_mirage.py and tools/profile.py all need the same rule."""
+    import sys
+    if configure_cache:
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/repo/.jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+    for attempt in range(retries + 1):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if attempt == retries:
+                raise
+            print(f"# backend init failed ({e}); retry "
+                  f"{attempt + 1}/{retries} in {delay_s:.0f}s",
+                  file=sys.stderr)
+            time.sleep(delay_s)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax-trace"):
     """Device trace context: view with TensorBoard or xprof."""

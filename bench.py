@@ -57,20 +57,8 @@ def main():
     except Exception:
         pass
 
-    # The axon relay intermittently refuses backend setup with a transient
-    # "UNAVAILABLE: TPU backend setup/compile error" on first contact
-    # (observed killing whole bench runs). Retry init a few times before
-    # giving up so one hiccup doesn't void the round's measurement.
-    for attempt in range(6):
-        try:
-            jax.devices()
-            break
-        except RuntimeError as e:
-            if attempt == 5:
-                raise
-            print(f"# backend init failed ({e}); retry {attempt + 1}/5 "
-                  "in 30s", file=sys.stderr)
-            time.sleep(30)
+    from audio_algebra_tpu.utils.profiling import wait_for_backend
+    wait_for_backend(configure_cache=False)   # cache configured above
 
     import jax.numpy as jnp
     from audio_algebra_tpu.models.dvae import DiffusionDVAE

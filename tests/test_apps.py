@@ -132,6 +132,22 @@ def test_run_logger_jsonl(tmp_path):
     assert json.load(open(lg.dir / "config.json"))["a"] == 1
 
 
+def test_run_logger_log_image_array(tmp_path):
+    """The array branch of log_image (save a PNG, return its path) — it
+    shipped with a wrong import for a round and no test caught it."""
+    lg = RunLogger("test-proj", name="img", out_dir=str(tmp_path),
+                   use_wandb=False)
+    path = lg.log_image("spec", np.random.default_rng(0).random((32, 64)),
+                        step=3)
+    lg.finish()
+    import importlib.util
+    if importlib.util.find_spec("matplotlib") is not None:
+        assert path is not None and path.endswith(".png")
+        assert (lg.dir / "spec_00000003.png").exists()
+    else:                       # save_image degrades to None gracefully
+        assert path is None
+
+
 def test_run_logger_wandb_sink(tmp_path, monkeypatch):
     """VERDICT r1 item 6: when wandb is importable and credentialed, the
     logger forwards scalars + typed media (Audio/Image/Table/Object3D —

@@ -264,7 +264,8 @@ def test_rel_pos_bias_skew_equals_gather():
     the naive (T,T) bucket gather bit-for-bit (it replaced a gather that
     was 48% of the MIRAGE inner step, see docs/performance.md)."""
     import jax.numpy as jnp
-    from audio_algebra_tpu.models.unet_cfg1d import _relative_position_bucket
+    from audio_algebra_tpu.models.unet_cfg1d import (
+        _relative_position_bucket, toeplitz_rel_pos_bias)
 
     rng = np.random.default_rng(0)
     for heads, t, nb, md in ((3, 17, 8, 16), (2, 64, 32, 128)):
@@ -273,10 +274,6 @@ def test_rel_pos_bias_skew_equals_gather():
         ref = jnp.transpose(
             table[_relative_position_bucket(pos[None, :] - pos[:, None],
                                             nb, md)], (2, 0, 1))
-        delta = jnp.arange(-(t - 1), t)
-        diag = table[_relative_position_bucket(delta, nb, md)]
-        prof = jnp.broadcast_to(diag.T[:, None, :], (heads, t, 2 * t - 1))
-        prof = jnp.pad(prof, ((0, 0), (0, 0), (0, 1)))
-        prof = prof.reshape(heads, 2 * t * t)[:, : t * (2 * t - 1)]
-        bias = prof.reshape(heads, t, 2 * t - 1)[:, :, t - 1:]
+        # the PRODUCTION helper (used by RelPosSelfAttention), not a copy
+        bias = toeplitz_rel_pos_bias(table, t, nb, md)
         assert jnp.array_equal(bias, ref)

@@ -24,22 +24,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    # transient relay "UNAVAILABLE" on first contact: bounded retry
-    for attempt in range(6):
-        try:
-            jax.devices()
-            break
-        except RuntimeError as e:
-            if attempt == 5:
-                raise
-            print(f"# backend init failed ({e}); retrying in 30s",
-                  file=sys.stderr)
-            time.sleep(30)
+    from audio_algebra_tpu.utils.profiling import wait_for_backend
+    wait_for_backend()
     import jax.numpy as jnp
     from audio_algebra_tpu.given_models import CLAPDAE
 

@@ -199,7 +199,8 @@ def discover_modules(pkg: str) -> list[str]:
     mods = [pkg]
     for info in pkgutil.walk_packages(root.__path__, prefix=pkg + "."):
         if ".pallas" in info.name or info.name.endswith("__main__"):
-            pass
+            continue        # kernels are documented via docs/performance.md;
+                            # a __main__ submodule would EXECUTE on import
         mods.append(info.name)
     return sorted(mods)
 

@@ -31,14 +31,19 @@ import shutil
 import time
 
 
+def _fetch(v) -> float:
+    """Force a real device-to-host fetch. block_until_ready does NOT await
+    remote completion on the axon relay (measured: an 8.5 s loop
+    "completes" in 0.1 ms) — every timing in this tool must end with this,
+    and ONLY this (keep the rule in one place)."""
+    import jax.numpy as jnp
+    return float(jnp.abs(jnp.ravel(v)[:8]).sum())
+
+
 def _setup_jax():
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from audio_algebra_tpu.utils.profiling import wait_for_backend
+    wait_for_backend()    # cache config + bounded retry on relay flake
     return jax
 
 
@@ -144,25 +149,30 @@ def cmd_forward(args):
     # and trailing args MUST be loop arguments, not closure captures — a
     # capture embeds them as HLO constants and the multi-GB compile request
     # blows the axon relay's body-size cap (HTTP 413).
+    chain = (getattr(out, "shape", None) == fargs[1].shape
+             and getattr(out, "dtype", None) == fargs[1].dtype)
+
     def loop(p, x0, rest):
         def body(_, x):
-            # chain the output back in (same shape for these models) — a
+            # chain the output back in when shapes allow — a
             # `x + 0 * y.sum()` pseudo-dep gets constant-folded and XLA
             # DCEs the entire forward (measured: 0.16 "ms/forward")
-            return jfn(p, x, *rest)
+            y = jfn(p, x, *rest)
+            if chain:
+                return y
+            # shape-changing targets (dvae-enc): perturb the carry by
+            # tiny*out[0] — data-dependent and nonzero-scaled, so XLA can
+            # neither fold it nor DCE the forward, and the value drift
+            # over any iteration count is ~1e-38 per step
+            eps = jnp.asarray(jnp.finfo(jnp.float32).tiny, x0.dtype)
+            return x + (jnp.ravel(y)[0].astype(x0.dtype) * eps)
         return jax.lax.fori_loop(0, args.iters, body, x0)
 
     lfn = jax.jit(loop)
 
-    # block_until_ready does NOT await remote completion on the axon relay
-    # (measured: an 8.5 s loop "completes" in 0.1 ms) — force a real
-    # device-to-host fetch like bench.py does
-    def fetch(v):
-        return float(jnp.abs(jnp.ravel(v)[:8]).sum())
-
-    fetch(lfn(fargs[0], fargs[1], fargs[2:]))
+    _fetch(lfn(fargs[0], fargs[1], fargs[2:]))
     t0 = time.perf_counter()
-    fetch(lfn(fargs[0], fargs[1], fargs[2:]))
+    _fetch(lfn(fargs[0], fargs[1], fargs[2:]))
     per = (time.perf_counter() - t0) / args.iters * 1e3
     print(json.dumps({"model": args.model, "batch": args.batch,
                       "dtype": args.dtype, "ms_per_forward": round(per, 2),
@@ -204,7 +214,7 @@ def cmd_trace(args):
         jfn = jax.jit(fn)
         run = lambda: jfn(*fargs)
 
-    fetch = lambda v: float(jnp.abs(jnp.ravel(v)[:8]).sum())
+    fetch = _fetch
     fetch(run())                      # compile outside the trace
     t0 = time.perf_counter()
     fetch(run())
@@ -255,7 +265,7 @@ def cmd_levels(args):
                                  (args.batch, 64, 512), jnp.bfloat16)
         f = jax.jit(lambda p, a, b, c: m.apply(p, a, b, c))
         # fetch, not block_until_ready — the relay's block is a no-op
-        fetch = lambda v: float(jnp.abs(jnp.ravel(v)[:8]).sum())
+        fetch = _fetch
         fetch(f(params, x, t, cond))
         t0 = time.perf_counter()
         for _ in range(3):
