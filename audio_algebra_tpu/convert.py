@@ -136,15 +136,25 @@ def convert_ldm_state_dict(sd: Dict[str, np.ndarray], params_template):
     online/ema copies live under .online_model./.ema_model.); inference
     wants the EMA copy (reference given_models.py:646 uses diffusion_ema)."""
     sd = strip_prefixes(sd)
-    # prefer the EMA copy: ema_pytorch layout first, plain *_ema second
-    remapped = dict(sd)
-    for k, v in sd.items():
-        m = re.match(r"diffusion_ema\.ema_model\.(.*)", k)
-        if m:
-            remapped[f"diffusion.{m.group(1)}"] = v
-    remapped = {k: v for k, v in remapped.items()
-                if ".online_model." not in k and "diffusion_ema" not in k
-                or re.match(r"diffusion_ema\.ema_model\.", k)}
+    # prefer the EMA copy. Two layouts: ema_pytorch (diffusion_ema.
+    # {online_model,ema_model}.*) or a plain deepcopy twin
+    # (diffusion_ema.*). The old single-comprehension filter had an
+    # and/or precedence bug that (a) retained the ema_pytorch originals
+    # as noisy unmatched leftovers and (b) dropped plain twins BEFORE
+    # remap_ema_weights could fold them in — silently pouring the online
+    # weights instead of the EMA the reference samples with.
+    if any(re.match(r"diffusion_ema\.(ema_model|online_model)\.", k)
+           for k in sd):
+        remapped = {}
+        for k, v in sd.items():
+            m = re.match(r"diffusion_ema\.ema_model\.(.*)", k)
+            if m:
+                remapped[f"diffusion.{m.group(1)}"] = v    # EMA wins
+        for k, v in sd.items():
+            if not k.startswith("diffusion_ema."):
+                remapped.setdefault(k, v)
+    else:
+        remapped = dict(sd)          # plain twins: remap_ema_weights folds
     remapped = remap_ema_weights(remapped)
     new, hits, misses = convert_by_shape(
         remapped, params_template,

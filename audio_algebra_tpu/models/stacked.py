@@ -112,6 +112,12 @@ class StackedAELatentDiffusionCond(nn.Module):
     factors: Sequence[int] = (1, 2, 2, 4, 4)
     num_blocks: Sequence[int] = (3, 3, 3, 3, 3)
     attentions: Sequence[int] = (0, 0, 2, 2, 2, 2)
+    resnet_groups: int = 8
+    attention_heads: int = 16
+    attention_features: int = 64
+    attention_multiplier: int = 4
+    attention_rel_pos_max_distance: int = 2048
+    attention_rel_pos_num_buckets: int = 256
 
     def setup(self):
         self.diffusion = UNetCFG1d(
@@ -119,13 +125,18 @@ class StackedAELatentDiffusionCond(nn.Module):
             context_embedding_features=self.embedding_features,
             context_embedding_max_length=self.embedding_max_len,
             channels=self.channels,
+            resnet_groups=self.resnet_groups,
             multipliers=tuple(self.multipliers),
             factors=tuple(self.factors),
             num_blocks=tuple(self.num_blocks),
             attentions=tuple(self.attentions),
-            attention_heads=16, attention_features=64, attention_multiplier=4,
-            attention_rel_pos_max_distance=2048,
-            attention_rel_pos_num_buckets=256,
+            attention_heads=self.attention_heads,
+            attention_features=self.attention_features,
+            attention_multiplier=self.attention_multiplier,
+            attention_rel_pos_max_distance=self
+            .attention_rel_pos_max_distance,
+            attention_rel_pos_num_buckets=self
+            .attention_rel_pos_num_buckets,
             use_skip_scale=True, use_context_time=True)
 
     def __call__(self, x, t, embedding=None, embedding_mask_proba: float = 0.0,

@@ -253,9 +253,13 @@ class _UNetCore(nn.Module):
         for i in reversed(range(n_levels - 1)):
             f = cfg.factors[i]
             if f > 1:
+                # transpose_kernel=True == torch conv_transpose1d semantics
+                # (soundstream.py has the same note): real checkpoints pour
+                # without kernel-flipped resampling artifacts
                 h = nn.ConvTranspose(cfg.channels * cfg.multipliers[i],
                                      (f * cfg.kernel_multiplier_downsample,),
                                      strides=(f,), padding="SAME",
+                                     transpose_kernel=True,
                                      name=f"up_conv{i}")(h)
             else:
                 h = Conv1d(cfg.channels * cfg.multipliers[i],

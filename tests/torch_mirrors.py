@@ -560,3 +560,311 @@ class RaveV2(nn.Module):
 
     def decode_bands(self, z, noise=None):
         return self.decoder(z, noise=noise)
+
+
+# ------------------------------------------------------------- UNetCFG1d ---
+# The MIRAGE inner model (archinet audio_diffusion_pytorch 0.0.97's
+# UNetCFG1d, reference StackedAELatentDiffusionCond.py:297-317). That
+# package is not in this image and the reference does not vendor the
+# module source, so unlike the mirrors above this one cannot reproduce
+# archinet's exact attribute naming; it mirrors the RERBUILT architecture's
+# structure under real-checkpoint-style top-level naming (`diffusion.*`,
+# ema_pytorch's `diffusion_ema.{online_model,ema_model}.*`). What the
+# parity test certifies: the converter's kind-aware ordered pour, weight
+# orientations (incl. the torch-semantics ConvTranspose up path), the EMA
+# remap, and that the shape-degenerate attention stack (dozens of
+# same-shaped Dense) pairs without crossing tensors.
+
+class _CfgConv1d(nn.Conv1d):
+    """nn.Conv1d with XLA SAME padding (asymmetric, low-half first)."""
+
+    def __init__(self, c_in, c_out, k, stride=1):
+        super().__init__(c_in, c_out, k, stride=stride)
+
+    def forward(self, x):
+        t = x.shape[-1]
+        out = -(-t // self.stride[0])
+        total = max((out - 1) * self.stride[0] + self.kernel_size[0] - t, 0)
+        x = F.pad(x, (total // 2, total - total // 2))
+        return self._conv_forward(x, self.weight, self.bias)
+
+
+class _GNFilmSilu(nn.Module):
+    """GroupNorm(eps 1e-6) -> optional FiLM -> optional SiLU, channels-
+    first; mirrors GroupNormFoldable (unet_cfg1d.py:152)."""
+
+    def __init__(self, groups, c):
+        super().__init__()
+        self.gn = nn.GroupNorm(groups, c, eps=1e-6)
+
+    def forward(self, x, film_scale=None, film_shift=None, silu=True):
+        h = self.gn(x)
+        if film_scale is not None:
+            h = h * (1 + film_scale)
+        if film_shift is not None:
+            h = h + film_shift
+        return F.silu(h) if silu else h
+
+
+class CfgResnetBlock(nn.Module):
+    """Mirrors unet_cfg1d.ResnetBlock: GN-silu-conv3, time FiLM,
+    GN-film-silu-conv3, projected skip."""
+
+    def __init__(self, c_in, features, groups, time_features):
+        super().__init__()
+        self.GroupNorm_0 = _GNFilmSilu(groups, c_in)
+        self.Conv1d_0 = _CfgConv1d(c_in, features, 3)
+        self.Dense_0 = nn.Linear(time_features, 2 * features)
+        self.GroupNorm_1 = _GNFilmSilu(groups, features)
+        self.Conv1d_1 = _CfgConv1d(features, features, 3)
+        self.Dense_1 = (nn.Linear(c_in, features, bias=False)
+                        if c_in != features else None)
+
+    def forward(self, x, time_emb):
+        h = self.Conv1d_0(self.GroupNorm_0(x))
+        ts = self.Dense_0(F.silu(time_emb))          # (B, 2F)
+        scale, shift = ts.unsqueeze(-1).chunk(2, dim=1)
+        h = self.Conv1d_1(self.GroupNorm_1(h, scale, shift))
+        skip = x if self.Dense_1 is None else \
+            self.Dense_1(x.transpose(1, 2)).transpose(1, 2)
+        return skip + h
+
+
+def _t5_bucket(rel_pos, num_buckets, max_distance):
+    num_buckets //= 2
+    ret = torch.where(rel_pos > 0, num_buckets, 0)
+    n = rel_pos.abs()
+    max_exact = num_buckets // 2
+    val_if_large = max_exact + (
+        torch.log(n.clamp(min=1).float() / max_exact)
+        / math.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).long()
+    val_if_large = val_if_large.clamp(max=num_buckets - 1)
+    return ret + torch.where(n < max_exact, n, val_if_large)
+
+
+class CfgSelfAttention(nn.Module):
+    """Rel-pos self-attention (naive (T,T) bucket gather — the mirror
+    doesn't need the skew trick, only the same math)."""
+
+    def __init__(self, c, heads, head_features, num_buckets, max_distance):
+        super().__init__()
+        inner = heads * head_features
+        self.heads, self.hf = heads, head_features
+        self.nb, self.md = num_buckets, max_distance
+        self.LayerNorm_0 = nn.LayerNorm(c, eps=1e-6)
+        self.Dense_0 = nn.Linear(c, inner, bias=False)
+        self.Dense_1 = nn.Linear(c, inner, bias=False)
+        self.Dense_2 = nn.Linear(c, inner, bias=False)
+        self.rel_pos_bias = nn.Parameter(0.02 * torch.randn(num_buckets,
+                                                            heads))
+        self.Dense_3 = nn.Linear(inner, c)
+
+    def forward(self, x):                            # x: (B, T, C)
+        b, t, c = x.shape
+        h = self.LayerNorm_0(x)
+        q = self.Dense_0(h).view(b, t, self.heads, self.hf)
+        k = self.Dense_1(h).view(b, t, self.heads, self.hf)
+        v = self.Dense_2(h).view(b, t, self.heads, self.hf)
+        att = torch.einsum("bthd,bshd->bhts", q * self.hf ** -0.5, k)
+        pos = torch.arange(t)
+        bias = self.rel_pos_bias[
+            _t5_bucket(pos[None, :] - pos[:, None], self.nb, self.md)]
+        att = att + bias.permute(2, 0, 1)[None]
+        y = torch.einsum("bhts,bshd->bthd", att.softmax(-1), v)
+        return x + self.Dense_3(y.reshape(b, t, -1))
+
+
+class CfgCrossAttention(nn.Module):
+    def __init__(self, c, ctx_features, heads, head_features):
+        super().__init__()
+        inner = heads * head_features
+        self.heads, self.hf = heads, head_features
+        self.LayerNorm_0 = nn.LayerNorm(c, eps=1e-6)
+        self.LayerNorm_1 = nn.LayerNorm(ctx_features, eps=1e-6)
+        self.Dense_0 = nn.Linear(c, inner, bias=False)
+        self.Dense_1 = nn.Linear(ctx_features, inner, bias=False)
+        self.Dense_2 = nn.Linear(ctx_features, inner, bias=False)
+        self.Dense_3 = nn.Linear(inner, c)
+
+    def forward(self, x, context):
+        b, t, c = x.shape
+        h = self.LayerNorm_0(x)
+        ctx = self.LayerNorm_1(context)
+        q = self.Dense_0(h).view(b, t, self.heads, self.hf)
+        k = self.Dense_1(ctx).view(b, -1, self.heads, self.hf)
+        v = self.Dense_2(ctx).view(b, -1, self.heads, self.hf)
+        att = torch.einsum("bthd,bshd->bhts", q * self.hf ** -0.5, k)
+        y = torch.einsum("bhts,bshd->bthd", att.softmax(-1), v)
+        return x + self.Dense_3(y.reshape(b, t, -1))
+
+
+class CfgFeedForward(nn.Module):
+    def __init__(self, c, multiplier):
+        super().__init__()
+        self.LayerNorm_0 = nn.LayerNorm(c, eps=1e-6)
+        self.Dense_0 = nn.Linear(c, c * multiplier)
+        self.Dense_1 = nn.Linear(c * multiplier, c)
+
+    def forward(self, x):
+        return x + self.Dense_1(
+            F.gelu(self.Dense_0(self.LayerNorm_0(x)), approximate="tanh"))
+
+
+class CfgTransformerBlock(nn.Module):
+    def __init__(self, c, ctx_features, heads, head_features, multiplier,
+                 num_buckets, max_distance):
+        super().__init__()
+        self.RelPosSelfAttention_0 = CfgSelfAttention(
+            c, heads, head_features, num_buckets, max_distance)
+        self.CrossAttention_0 = CfgCrossAttention(
+            c, ctx_features, heads, head_features)
+        self.FeedForward_0 = CfgFeedForward(c, multiplier)
+
+    def forward(self, x, context):                   # (B, T, C)
+        x = self.RelPosSelfAttention_0(x)
+        x = self.CrossAttention_0(x, context)
+        return self.FeedForward_0(x)
+
+
+class _CfgCore(nn.Module):
+    """Mirrors unet_cfg1d._UNetCore (same module names, same flow)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        ch, mults = cfg["channels"], cfg["multipliers"]
+        n_levels = len(mults)
+        tf = 4 * ch
+        self.time_mlp1 = nn.Linear(ch, tf)
+        self.time_mlp2 = nn.Linear(tf, tf)
+        self.init_conv = _CfgConv1d(cfg["in_channels"], ch * mults[0], 7)
+
+        def add_level(c_in, i, stage):
+            feats = ch * mults[i]
+            nb = cfg["num_blocks"]
+            for j in range(nb[i] if i < len(nb) else 1):
+                setattr(self, f"{stage}_res{i}_{j}",
+                        CfgResnetBlock(c_in, feats, cfg["resnet_groups"], tf))
+                c_in = feats
+            for j in range(cfg["attentions"][i]):
+                setattr(self, f"{stage}_attn{i}_{j}", CfgTransformerBlock(
+                    feats, cfg["context_embedding_features"],
+                    cfg["attention_heads"], cfg["attention_features"],
+                    cfg["attention_multiplier"],
+                    cfg["attention_rel_pos_num_buckets"],
+                    cfg["attention_rel_pos_max_distance"]))
+            return feats
+
+        c = ch * mults[0]
+        for i in range(n_levels - 1):
+            c = add_level(c, i, "down")
+            f = cfg["factors"][i]
+            k = f * cfg["kernel_multiplier_downsample"] if f > 1 else 3
+            setattr(self, f"down_conv{i}",
+                    _CfgConv1d(c, ch * mults[i + 1], k, stride=f))
+            c = ch * mults[i + 1]
+        c = add_level(c, n_levels - 1, "mid")
+        for i in reversed(range(n_levels - 1)):
+            f = cfg["factors"][i]
+            if f > 1:
+                setattr(self, f"up_conv{i}", nn.ConvTranspose1d(
+                    c, ch * mults[i],
+                    f * cfg["kernel_multiplier_downsample"], stride=f,
+                    padding=f // 2))
+            else:
+                setattr(self, f"up_conv{i}", _CfgConv1d(c, ch * mults[i], 3))
+            c = add_level(ch * mults[i] * 2, i, "up")
+        self.out_norm = _GNFilmSilu(cfg["resnet_groups"], c)
+        self.out_conv = _CfgConv1d(c, cfg["in_channels"], 7)
+
+    def _level(self, h, i, stage, time_emb, context):
+        nb = self.cfg["num_blocks"]
+        for j in range(nb[i] if i < len(nb) else 1):
+            h = getattr(self, f"{stage}_res{i}_{j}")(h, time_emb)
+        for j in range(self.cfg["attentions"][i]):
+            h = getattr(self, f"{stage}_attn{i}_{j}")(
+                h.transpose(1, 2), context).transpose(1, 2)
+        return h
+
+    def forward(self, x, t, context):                # x: (B, C, T)
+        cfg = self.cfg
+        ch = cfg["channels"]
+        half = ch // 2
+        freqs = torch.exp(-math.log(10000.0) * torch.arange(half) / half)
+        ang = t[:, None] * freqs[None, :] * 1000.0
+        emb = torch.cat([ang.cos(), ang.sin()], dim=-1)
+        time_emb = self.time_mlp2(F.silu(self.time_mlp1(emb)))
+
+        n_levels = len(cfg["multipliers"])
+        h = self.init_conv(x)
+        skips = []
+        for i in range(n_levels - 1):
+            h = self._level(h, i, "down", time_emb, context)
+            skips.append(h)
+            h = getattr(self, f"down_conv{i}")(h)
+        h = self._level(h, n_levels - 1, "mid", time_emb, context)
+        for i in reversed(range(n_levels - 1)):
+            h = getattr(self, f"up_conv{i}")(h)
+            skip = skips.pop()
+            if cfg["use_skip_scale"]:
+                skip = skip * 2.0 ** -0.5
+            h = torch.cat([h, skip], dim=1)
+            h = self._level(h, i, "up", time_emb, context)
+        return self.out_conv(self.out_norm(h))
+
+
+class TorchUNetCFG1d(nn.Module):
+    def __init__(self, **cfg):
+        super().__init__()
+        defaults = dict(in_channels=32, context_embedding_features=512,
+                        context_embedding_max_length=1, channels=256,
+                        resnet_groups=8, kernel_multiplier_downsample=2,
+                        multipliers=(2, 3, 4, 4, 4, 4),
+                        factors=(1, 2, 2, 4, 4), num_blocks=(3,) * 5,
+                        attentions=(0, 0, 2, 2, 2, 2), attention_heads=16,
+                        attention_features=64, attention_multiplier=4,
+                        attention_rel_pos_max_distance=2048,
+                        attention_rel_pos_num_buckets=256,
+                        use_skip_scale=True, use_context_time=True)
+        defaults.update(cfg)
+        self.cfg = defaults
+        self.fixed_embedding = nn.Parameter(0.02 * torch.randn(
+            defaults["context_embedding_max_length"],
+            defaults["context_embedding_features"]))
+        self.core = _CfgCore(defaults)
+
+    def forward(self, x, t, embedding=None, embedding_scale: float = 1.0):
+        b = x.shape[0]
+        null_ctx = self.fixed_embedding[None].expand(
+            b, *self.fixed_embedding.shape)
+        if embedding is None:
+            return self.core(x, t, null_ctx)
+        if embedding_scale != 1.0:
+            x2 = torch.cat([x, x], dim=0)
+            t2 = torch.cat([t, t], dim=0)
+            ctx2 = torch.cat([embedding, null_ctx], dim=0)
+            v_cond, v_null = self.core(x2, t2, ctx2).chunk(2, dim=0)
+            return v_null + embedding_scale * (v_cond - v_null)
+        return self.core(x, t, embedding)
+
+
+class _EmaPytorch(nn.Module):
+    """ema_pytorch.EMA state-dict layout: the online model is registered
+    (and serialised) under `.online_model.`, the averaged copy under
+    `.ema_model.` (reference StackedAELatentDiffusionCond.py:319-325)."""
+
+    def __init__(self, model):
+        super().__init__()
+        self.online_model = model
+        self.ema_model = deepcopy(model)
+
+
+class StackedAELatentDiffusionCondLDM(nn.Module):
+    """Top-level layout of the MIRAGE LDM checkpoint: `diffusion` +
+    `diffusion_ema` (ema_pytorch)."""
+
+    def __init__(self, **cfg):
+        super().__init__()
+        self.diffusion = TorchUNetCFG1d(**cfg)
+        self.diffusion_ema = _EmaPytorch(self.diffusion)
