@@ -123,10 +123,11 @@ def phaser(x, rate_hz, sample_rate=48000, depth: float = 0.8,
     n_seg = 8
     seg = t_len // n_seg
     outs = []
+    rate = jnp.asarray(rate_hz, jnp.float32)   # traced knobs must vmap/jit
     for s in range(n_seg):
-        phase = 2 * math.pi * rate_hz * (s * seg / sample_rate)
-        f = centre_hz * (1.0 + depth * 0.5 * math.sin(phase))
-        b, a = biquad_coeffs("notch", jnp.asarray(f), sample_rate, q=0.7)
+        phase = 2 * math.pi * rate * (s * seg / sample_rate)
+        f = centre_hz * (1.0 + depth * 0.5 * jnp.sin(phase))
+        b, a = biquad_coeffs("notch", f, sample_rate, q=0.7)
         sos = jnp.concatenate([b, a])[None, :].repeat(stages // 2, axis=0)
         outs.append(sosfilt(sos, x[..., s * seg:(s + 1) * seg]))
     rem = x[..., n_seg * seg:]
@@ -134,18 +135,18 @@ def phaser(x, rate_hz, sample_rate=48000, depth: float = 0.8,
     return (1 - mix) * x + mix * wet
 
 
-def _synthetic_ir(room_size: float, sample_rate: int, seconds: float = 1.5,
+def _synthetic_ir(room_size, sample_rate: int, seconds: float = 1.5,
                   seed: int = 0) -> jnp.ndarray:
-    """Exponentially-decaying noise IR; decay time scales with room_size."""
+    """Exponentially-decaying noise IR; decay time scales with room_size.
+    The noise draw is static (host-side); the decay envelope is traced so
+    room_size knob sweeps vmap/jit on device like every other effect."""
     n = int(seconds * sample_rate)
     rng = np.random.default_rng(seed)
-    noise = rng.standard_normal(n).astype(np.float32)
-    t60 = 0.2 + 2.3 * float(room_size)               # 0.2s .. 2.5s
-    decay = np.exp(-6.908 * np.arange(n) / (t60 * sample_rate))
-    ir = noise * decay
-    ir[0] = 1.0
-    ir /= np.sqrt((ir**2).sum())
-    return jnp.asarray(ir)
+    noise = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    t60 = 0.2 + 2.3 * jnp.asarray(room_size, jnp.float32)   # 0.2s .. 2.5s
+    decay = jnp.exp(-6.908 * jnp.arange(n) / (t60 * sample_rate))
+    ir = (noise * decay).at[0].set(1.0)
+    return ir / jnp.sqrt(jnp.sum(jnp.square(ir)))
 
 
 def reverb(x, room_size, sample_rate=48000, mix: float = 0.33,
@@ -154,7 +155,7 @@ def reverb(x, room_size, sample_rate=48000, mix: float = 0.33,
     exponential-decay IR (same-length output; the reference truncates
     reverb tails — datasets.py:111-114). The convolution runs as framed
     DFT matmuls (overlap-add), MXU-shaped."""
-    ir = _synthetic_ir(float(room_size), sample_rate, ir_seconds)
+    ir = _synthetic_ir(room_size, sample_rate, ir_seconds)
     t_len = x.shape[-1]
     n_ir = ir.shape[0]
     # frequency-domain convolution via our DFT-matmul stft machinery is
@@ -186,6 +187,11 @@ def pitch_shift(x, semitones, sample_rate=48000, n_fft: int = 2048,
         jnp.take(mag, jnp.minimum(i0 + 1, n_frames - 1), axis=-1) * frac
     dphase = phase - jnp.roll(phase, 1, axis=-1)
     omega = 2 * math.pi * jnp.arange(spec.shape[-2]) * hop / n_fft
+    # frame 0 has no predecessor: roll wraps to the LAST frame, leaving a
+    # bogus per-bin phase offset that every later frame inherits through
+    # the cumsum; pin it to the nominal advance (dev = 0) instead
+    dphase = dphase.at[..., 0].set(
+        jnp.broadcast_to(omega[:, None], dphase[..., :1].shape)[..., 0])
     dev = dphase - omega[:, None]
     dev = jnp.mod(dev + math.pi, 2 * math.pi) - math.pi
     inst = (omega[:, None] + dev)

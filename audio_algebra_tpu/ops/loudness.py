@@ -61,16 +61,23 @@ def integrated_loudness(audio, sample_rate: int = 48000) -> float:
         x = x[None]
     sos = _k_weighting_sos(sample_rate)
     xw = sosfilt(sos, x)
+    # BS.1770-4 channel weights (L, R, C, Ls, Rs ordering): the surround
+    # pair weighs 1.41; mono/stereo are all-ones so the dataset paths are
+    # unchanged
+    g = np.ones(xw.shape[0], np.float32)
+    g[3:5] = 1.41
+    g = jnp.asarray(g)
     block = int(0.400 * sample_rate)
     hop = int(0.100 * sample_rate)
     t = xw.shape[-1]
     if t < block:
-        ms = jnp.mean(jnp.square(xw), axis=-1).sum()
+        ms = (g * jnp.mean(jnp.square(xw), axis=-1)).sum()
         return float(-0.691 + 10.0 * jnp.log10(jnp.maximum(ms, 1e-12)))
     n_blocks = 1 + (t - block) // hop
     idx = np.arange(n_blocks)[:, None] * hop + np.arange(block)[None, :]
     frames = xw[..., idx]                                # (C, n_blocks, block)
-    ms = jnp.mean(jnp.square(frames), axis=-1).sum(axis=0)   # channel sum
+    ms = (g[:, None]
+          * jnp.mean(jnp.square(frames), axis=-1)).sum(axis=0)  # weighted
     lk = -0.691 + 10.0 * jnp.log10(jnp.maximum(ms, 1e-12))
     # absolute gate at -70 LUFS
     abs_mask = lk > -70.0

@@ -51,15 +51,29 @@ def pallas_stft(x: jnp.ndarray, n_fft: int = 1024, hop_length: int = 256,
     n_bins = n_fft // 2 + 1
     nb_pad = _round_up(n_bins, 128)
 
-    if n_fft % 128 != 0 or hop_length % 128 != 0:
-        # lane-fold layout below needs 128-aligned frame starts; fall back
+    ft = FRAMES_PER_TILE
+    n_tiles = -(-n_frames // ft)
+    # chunk the frame axis: the output blocks tile over grid dim 1, so VMEM
+    # holds only one chunk's spectrogram slab (2 x ~320 KB) instead of the
+    # whole row's (which at a 22 s signal is 2 x ~10 MB -> Mosaic OOM). The
+    # signal row itself still sits in VMEM whole (overlapping frame spans
+    # can't be expressed as BlockSpec index maps), so very long rows gate
+    # to the XLA path below.
+    chunk_tiles = min(n_tiles, 8)                   # 128 frames per chunk
+    n_chunks = -(-n_tiles // chunk_tiles)
+    total_tiles = n_chunks * chunk_tiles
+    span = (total_tiles * ft - 1) * hop_length + n_fft
+    span = _round_up(span, 1024)                    # rows of 128, 8-row tiles
+
+    row_bytes = span * 4
+    base_bytes = 2 * n_fft * nb_pad * 4
+    if n_fft % 128 != 0 or hop_length % 128 != 0 \
+            or row_bytes + base_bytes > 10 * 2**20:
+        # lane-fold layout needs 128-aligned frame starts, and the whole
+        # padded row must fit VMEM alongside the DFT bases; fall back
         from ..stft import stft as _stft
         return _stft(x, n_fft, hop_length, center=False)
 
-    ft = FRAMES_PER_TILE
-    n_tiles = -(-n_frames // ft)
-    span = (n_tiles * ft - 1) * hop_length + n_fft
-    span = _round_up(span, 1024)                    # rows of 128, 8-row tiles
     if span > t:
         xb = jnp.pad(xb, ((0, 0), (0, span - t)))
     # fold each signal row onto the (sublane, lane) grid: (rows, span/128, 128)
@@ -73,8 +87,10 @@ def pallas_stft(x: jnp.ndarray, n_fft: int = 1024, hop_length: int = 256,
     win2 = hann_window(n_fft).reshape(rows_per_frame, 128)
 
     def kernel(x_ref, win_ref, cos_ref, sin_ref, re_ref, im_ref, frames):
+        chunk = pl.program_id(1)
+
         def tile_body(tile, carry):
-            base_row = tile * (ft * rows_per_hop)
+            base_row = (chunk * chunk_tiles + tile) * (ft * rows_per_hop)
             for i in range(ft):                     # static unroll
                 r0 = base_row + i * rows_per_hop
                 for r in range(rows_per_frame):     # 128-lane row copies
@@ -88,26 +104,28 @@ def pallas_stft(x: jnp.ndarray, n_fft: int = 1024, hop_length: int = 256,
                 preferred_element_type=jnp.float32)
             return carry
 
-        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+        jax.lax.fori_loop(0, chunk_tiles, tile_body, 0)
 
-    out_shape = jax.ShapeDtypeStruct((n_rows, n_tiles * ft, nb_pad), jnp.float32)
+    cf = chunk_tiles * ft                           # frames per chunk
+    out_shape = jax.ShapeDtypeStruct((n_rows, total_tiles * ft, nb_pad),
+                                     jnp.float32)
     re, im = pl.pallas_call(
         kernel,
-        grid=(n_rows,),
+        grid=(n_rows, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, span // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, span // 128, 128), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_frame, 128), lambda b: (0, 0),
+            pl.BlockSpec((rows_per_frame, 128), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, nb_pad), lambda b: (0, 0),
+            pl.BlockSpec((n_fft, nb_pad), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, nb_pad), lambda b: (0, 0),
+            pl.BlockSpec((n_fft, nb_pad), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, n_tiles * ft, nb_pad), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, cf, nb_pad), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles * ft, nb_pad), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, cf, nb_pad), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(out_shape, out_shape),

@@ -52,7 +52,9 @@ def phase_integrate(dtheta: jnp.ndarray, init: str = "true", key: jax.Array | No
     elif init == "rand":
         if key is None:
             key = jax.random.PRNGKey(0)
-        first = jax.random.uniform(key, dtheta[..., :1].shape)
+        # uniform on the full circle — without the TWO_PI the "random"
+        # origin was confined to a 1-radian arc
+        first = jax.random.uniform(key, dtheta[..., :1].shape) * TWO_PI
     elif init == "zero":
         first = jnp.zeros_like(dtheta[..., :1])
     else:

@@ -34,14 +34,19 @@ class VDenoiser:
         return jnp.tan(t * math.pi / 2) * self.sigma_data
 
     def __call__(self, x, sigma, **kwargs):
+        # coefficients in f32 (sigma spans 0.11..50), applied in x.dtype:
+        # a bf16 x must stay bf16 through the whole loop — an f32 promotion
+        # here silently ran all 150 inner-stage UNet steps in f32 under
+        # model.half() (f32 convs measured ~1/4 the bf16 rate)
+        sigma = jnp.asarray(sigma, jnp.float32)
         sd2 = self.sigma_data**2
         total = sigma**2 + sd2
-        c_skip = sd2 / total
-        c_out = -sigma * self.sigma_data / jnp.sqrt(total)
-        c_in = 1.0 / jnp.sqrt(total)
+        c_skip = (sd2 / total).astype(x.dtype)
+        c_out = (-sigma * self.sigma_data / jnp.sqrt(total)).astype(x.dtype)
+        c_in = (1.0 / jnp.sqrt(total)).astype(x.dtype)
         shape = (-1,) + (1,) * (x.ndim - 1)
         v = self.model_fn(x * c_in.reshape(shape),
-                          self.sigma_to_t(sigma), **kwargs)
+                          self.sigma_to_t(sigma).astype(x.dtype), **kwargs)
         return x * c_skip.reshape(shape) + v.astype(x.dtype) * c_out.reshape(shape)
 
 
@@ -60,7 +65,6 @@ def sample_dpmpp_2m(denoiser: Callable, x: jnp.ndarray, sigmas: jnp.ndarray,
     """DPM-Solver++(2M) as one lax.scan (k-diffusion sample_dpmpp_2m math)."""
     extra_args = extra_args or {}
     n = sigmas.shape[0] - 1
-    s_in = jnp.ones((x.shape[0],), x.dtype)
 
     def t_fn(sigma):
         return -jnp.log(jnp.maximum(sigma, 1e-20))
@@ -70,16 +74,22 @@ def sample_dpmpp_2m(denoiser: Callable, x: jnp.ndarray, sigmas: jnp.ndarray,
 
     def body(carry, i):
         x, old_denoised = carry
-        denoised = denoiser(x, sigmas[i] * s_in, **extra_args)
+        denoised = denoiser(x, sigmas[i] * jnp.ones((x.shape[0],),
+                                                    jnp.float32),
+                            **extra_args)
+        # step math in f32; every factor applied to x/denoised casts back
+        # so a bf16 x stays bf16 across the scan (see VDenoiser.__call__)
         t, t_next = t_fn(sigmas[i]), t_fn(sigmas[i + 1])
         h = t_next - t
         first = (i == 0) | (sigmas[i + 1] == 0)
         h_last = t - t_fn(sigmas[jnp.maximum(i - 1, 0)])
         r = h_last / h
-        denoised_d = jnp.where(
-            first, denoised,
-            (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised)
-        x_next = (sigma_fn(t_next) / sigma_fn(t)) * x - jnp.expm1(-h) * denoised_d
+        ca = (1 + 1 / (2 * r)).astype(x.dtype)
+        cb = (1 / (2 * r)).astype(x.dtype)
+        denoised_d = jnp.where(first, denoised,
+                               ca * denoised - cb * old_denoised)
+        x_next = (sigma_fn(t_next) / sigma_fn(t)).astype(x.dtype) * x \
+            - jnp.expm1(-h).astype(x.dtype) * denoised_d
         return (x_next, denoised), None
 
     (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(n))
@@ -103,6 +113,6 @@ def kdiff_sample(model_fn: Callable, latents: jnp.ndarray, steps: int,
                       "matches reference behaviour)", stacklevel=2)
     denoiser = VDenoiser(model_fn)
     sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max)
-    x = latents * sigmas[0]
+    x = latents * sigmas[0].astype(latents.dtype)   # keep bf16 bf16
     out = sample_dpmpp_2m(denoiser, x, sigmas, extra_args=extra_args)
     return jnp.clip(out, -1.0, 1.0)

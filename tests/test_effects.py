@@ -117,3 +117,38 @@ def test_apply_effect_by_name(tone):
     y = apply_effect("Gain", tone, 6.0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(tone) * 10 ** 0.3,
                                rtol=1e-5)
+
+
+def test_phaser_reverb_traced_knobs_jit_vmap(tone):
+    """Every effect's knob must trace (the module contract: 'knob sweeps
+    vmap/jit on device') — phaser and reverb used host-side math.sin /
+    float() on the knob and crashed under jit until round 2."""
+    import jax
+    from audio_algebra_tpu.ops.effects import apply_effect
+
+    for name in ("Phaser", "Reverb"):
+        y = jax.jit(lambda k, n=name: apply_effect(n, tone, k, 48000))(
+            jnp.float32(0.6))
+        assert y.shape == tone.shape and bool(jnp.isfinite(y).all())
+        ys = jax.vmap(lambda k, n=name: apply_effect(n, tone, k, 48000))(
+            jnp.linspace(0.1, 0.9, 3))
+        assert ys.shape == (3, *tone.shape)
+        # distinct knob values produce distinct outputs
+        assert float(jnp.abs(ys[0] - ys[2]).max()) > 1e-6
+
+
+def test_pitch_shift_first_frame_phase_clean():
+    """dphase frame 0 must not inherit the roll() wrap-around (a bogus
+    constant per-bin offset through the cumsum). A pure tone's shifted
+    output should stay phase-coherent from the very first samples."""
+    from audio_algebra_tpu.ops.effects import pitch_shift
+
+    sr = 48000
+    t = np.arange(16384) / sr
+    x = jnp.asarray(np.sin(2 * np.pi * 440.0 * t, dtype=np.float32))[None]
+    y = np.asarray(pitch_shift(x, 12.0, sr))
+    # the head of the output (first synthesis frames) carries real energy,
+    # comparable to the steady state — the wrap bug scrambled it
+    head = float(np.sqrt((y[0, 512:2048] ** 2).mean()))
+    mid = float(np.sqrt((y[0, 6000:10000] ** 2).mean()))
+    assert head > 0.25 * mid, (head, mid)

@@ -124,3 +124,30 @@ def test_kdiff_sample_wrapper():
     out = kdiff_sample(oracle_v, noise, steps=25)
     np.testing.assert_allclose(np.asarray(out), np.clip(np.asarray(X0), -1, 1),
                                atol=2e-2)
+
+
+def test_kdiff_sample_preserves_bf16():
+    """The production serving path runs half(): a bf16 latent must stay
+    bf16 through VDenoiser and the whole DPM++(2M) scan (an f32 promotion
+    here silently ran all 150 MIRAGE inner steps in f32 — round-2 review
+    finding), and the bf16 trajectory must track the f32 one."""
+    import jax
+    import jax.numpy as jnp
+    from audio_algebra_tpu.samplers.kdiff import kdiff_sample
+
+    seen = []
+
+    def model_fn(x, t, **kw):
+        seen.append((x.dtype, t.dtype))
+        return 0.1 * x - 0.05 * jnp.sin(x)
+
+    lat = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 64), jnp.float32)
+    ref = kdiff_sample(model_fn, lat, 12)
+    assert ref.dtype == jnp.float32
+    seen.clear()
+    got = kdiff_sample(model_fn, lat.astype(jnp.bfloat16), 12)
+    assert got.dtype == jnp.bfloat16
+    assert all(xd == jnp.bfloat16 and td == jnp.bfloat16 for xd, td in seen)
+    rel = float(jnp.sqrt(jnp.mean((got.astype(jnp.float32) - ref) ** 2)
+                         / jnp.mean(ref ** 2)))
+    assert rel < 0.05, rel
