@@ -29,8 +29,9 @@ def conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1, dilation: int =
 
 
 def conv1d_mm(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
-              stride: int = 1, dilation: int = 1) -> jnp.ndarray:
-    """SAME-padded 1D conv as shifted matmuls (MXU formulation).
+              stride: int = 1, dilation: int = 1,
+              padding: str | int = "SAME") -> jnp.ndarray:
+    """1D conv as shifted matmuls (MXU formulation).
 
     y[t] = Σ_k x[t·s + k·d − pad] @ W[k]. Avoids the XLA conv op entirely:
     on the axon TPU backend, full-rate small-channel dilated convs took
@@ -39,14 +40,21 @@ def conv1d_mm(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
     contraction on the 128-lane axis. For small Cin the K taps concatenate
     into ONE matmul with contraction K·Cin; for large Cin (already MXU-
     efficient) taps accumulate to bound memory.
+
+    padding: "SAME" (XLA split, low half first), "VALID", or an int for
+    symmetric zero padding — matching the conv1d() helper.
     """
     b, t, c_in = x.shape
     k, _, c_out = kernel.shape
-    out_len = -(-t // stride)
-    # XLA SAME padding: total = max((out-1)*s + (k-1)*d + 1 - T, 0), low-half first
-    pad_total = max((out_len - 1) * stride + (k - 1) * dilation + 1 - t, 0)
-    pad_l = pad_total // 2
-    xp = jnp.pad(x, ((0, 0), (pad_l, pad_total - pad_l), (0, 0)))
+    if padding == "SAME":
+        out_len = -(-t // stride)
+        # XLA SAME: total = max((out-1)*s + (k-1)*d + 1 - T, 0), low-half first
+        pad_total = max((out_len - 1) * stride + (k - 1) * dilation + 1 - t, 0)
+        pad_l, pad_r = pad_total // 2, pad_total - pad_total // 2
+    else:
+        pad_l = pad_r = 0 if padding == "VALID" else int(padding)
+        out_len = (t + pad_l + pad_r - (k - 1) * dilation - 1) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
 
     def tap(i):
         start = i * dilation
@@ -67,8 +75,8 @@ def conv1d_mm(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
             xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 128 - c_in)))
             kpad = jnp.pad(kernel, ((0, 0), (0, 128 - c_in), (0, 0)))
             y = jax.lax.conv_general_dilated(
-                xpad, kpad, window_strides=(stride,), padding="SAME",
-                rhs_dilation=(dilation,),
+                xpad, kpad, window_strides=(stride,),
+                padding=[(pad_l, pad_r)], rhs_dilation=(dilation,),
                 dimension_numbers=("NHC", "HIO", "NHC"))
             return y + bias.astype(x.dtype) if bias is not None else y
         # small-channel convs: ONE matmul with contraction K*Cin (the XLA
@@ -80,7 +88,7 @@ def conv1d_mm(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
         # large-channel convs: the XLA conv op compiles fine and measures
         # ~20% faster than shifted matmuls at the UNet's hot shapes
         return jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(stride,), padding="SAME",
+            x, kernel, window_strides=(stride,), padding=[(pad_l, pad_r)],
             rhs_dilation=(dilation,),
             dimension_numbers=("NHC", "HIO", "NHC")) + \
             (bias.astype(x.dtype) if bias is not None else 0.0)
@@ -171,7 +179,7 @@ class Conv1d(nn.Module):
     stride: int = 1
     dilation: int = 1
     use_bias: bool = True
-    padding: str = "SAME"
+    padding: str | int = "SAME"   # "SAME" | "VALID" | int (symmetric)
 
     @nn.compact
     def __call__(self, x, x_scale=None, out_dtype=None):
@@ -195,12 +203,13 @@ class Conv1d(nn.Module):
             b_i = bias if i == 0 else None     # bias added once
             if p.dtype == jnp.int8:
                 assert scales[i] is not None and self.stride == 1 \
-                    and self.dilation == 1
+                    and self.dilation == 1 and self.padding == "SAME", \
+                    "int8 turbo path supports SAME stride-1 convs only"
                 yp = conv1d_int8(p, scales[i], kp, b_i,
                                  out_dtype or jnp.bfloat16)
             else:
                 yp = conv1d_mm(p, kp.astype(p.dtype), b_i, self.stride,
-                               self.dilation)
+                               self.dilation, self.padding)
             y = yp if y is None else y + yp
         return y
 

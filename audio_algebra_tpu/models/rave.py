@@ -288,11 +288,15 @@ class RAVE(nn.Module):
         """(B, 1, T) mono -> (B, latent_dim, T/downsampling_ratio).
         Returns the posterior mean (the exported-model behaviour) unless
         `sample=True` draws z = mean + std*eps."""
+        if sample and key is None:
+            raise ValueError("encode(sample=True) needs a PRNG `key`; "
+                             "omit sample for the deterministic posterior "
+                             "mean")
         sub = self.pqmf.analysis(audio)                 # (B, n_bands, T/nb)
         x = jnp.swapaxes(sub, -1, -2)
         stats = self.encoder(x)
         mean, scale = jnp.split(stats, 2, axis=-1)
-        if sample and key is not None:
+        if sample:
             std = jax.nn.softplus(scale) + 1e-4
             mean = mean + std * jax.random.normal(key, mean.shape)
         return jnp.swapaxes(mean, -1, -2)

@@ -172,7 +172,9 @@ class GroupNormFoldable(nn.Module):
                 film_scale=film_scale, film_shift=film_shift, silu=silu)
         h = nn.GroupNorm(num_groups=self.groups, use_scale=False,
                          use_bias=False)(x)
-        h = h * scale + bias
+        # keep the activation dtype: f32 scale/bias params would otherwise
+        # promote bf16 activations to f32 for every downstream conv
+        h = h * scale.astype(h.dtype) + bias.astype(h.dtype)
         if film_scale is not None:
             h = h * (1 + film_scale)
         if film_shift is not None:
@@ -307,8 +309,13 @@ class UNetCFG1d(nn.Module):
             context = null_ctx
         else:
             context = embedding.astype(x.dtype)
-            if context.shape[0] != b:   # one embedding conditioning B variations
+            if context.shape[0] == 1 and b != 1:
+                # one embedding conditioning B variations
                 context = jnp.broadcast_to(context[:1], (b, *context.shape[1:]))
+            elif context.shape[0] != b:
+                raise ValueError(
+                    f"embedding batch {context.shape[0]} must be 1 or match "
+                    f"x batch {b}")
             if embedding_mask_proba > 0.0:
                 keep = jax.random.bernoulli(
                     self.make_rng("cfg"), 1.0 - embedding_mask_proba, (b, 1, 1))

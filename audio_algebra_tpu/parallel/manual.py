@@ -34,14 +34,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_manual_ddp_step(loss_fn: Callable, optimizer, mesh: Mesh,
                          accum_steps: int = 1,
-                         compute_dtype=None) -> Callable:
+                         compute_dtype=None,
+                         arg_specs=None) -> Callable:
     """Build `step(params, opt_state, *batch_args) -> (params, opt_state,
     logs)` as a shard_map over `mesh`'s 'data' axis with an explicit
     gradient pmean.
 
     loss_fn: (params, *batch_args) -> (loss, logs dict). Batch args are
-    sharded on their leading dim when it divides the data axis; smaller
-    args (fader vectors etc.) are replicated.
+    auto-sharded on their leading dim when rank >= 2 and it divides the
+    data axis; rank-1 args (fader vectors etc.) are replicated by default
+    — so a PER-EXAMPLE rank-1 arg like a (B,) diffusion-timestep vector
+    MUST be given an explicit spec or the per-device loss sees full-B
+    timesteps against B/n latents and fails to broadcast.
+
+    arg_specs: optional tuple, one entry per batch arg: a PartitionSpec
+    (applied to every leaf of that arg) or None for the auto rule.
+    E.g. `arg_specs=(None, P("data"))` shards a (B,) second arg while the
+    first keeps the auto leading-dim rule.
     """
     import optax
 
@@ -51,17 +60,25 @@ def make_manual_ddp_step(loss_fn: Callable, optimizer, mesh: Mesh,
     data_size = mesh.shape["data"]
 
     def _arg_spec(x):
-        # Shard only rank>=2 args on their leading dim. Under shard_map the
-        # in_spec CHANGES SEMANTICS (each device sees its slice), unlike
-        # the annotated step where a sharding is just layout — a 1-D
-        # vector like the (nstems,) faders must stay replicated even when
-        # its length happens to divide the device count (on a 2-device
-        # mesh, splitting faders (2,) silently mis-mixes both stems with
-        # one fader each; reproduced, see tests/test_parallel.py).
+        # Auto rule: shard only rank>=2 args on their leading dim. Under
+        # shard_map the in_spec CHANGES SEMANTICS (each device sees its
+        # slice), unlike the annotated step where a sharding is just
+        # layout — a 1-D vector like the (nstems,) faders must stay
+        # replicated even when its length happens to divide the device
+        # count (on a 2-device mesh, splitting faders (2,) silently
+        # mis-mixes both stems with one fader each; reproduced, see
+        # tests/test_parallel.py). Per-example rank-1 args opt in via
+        # `arg_specs` instead — shape alone cannot tell a (B,) timestep
+        # vector from an (nstems,) hyperparameter vector.
         if jnp.ndim(x) >= 2 and jnp.shape(x)[0] % data_size == 0 \
                 and jnp.shape(x)[0] >= data_size:
             return P("data", *([None] * (jnp.ndim(x) - 1)))
         return P()
+
+    def _spec_for(i, x):
+        if arg_specs is not None and arg_specs[i] is not None:
+            return arg_specs[i]
+        return _arg_spec(x)
 
     def per_device(params, opt_state, *batch_args):
         def cast(x):
@@ -84,11 +101,12 @@ def make_manual_ddp_step(loss_fn: Callable, optimizer, mesh: Mesh,
     def run(params, opt_state, *batch_args):
         placed = tuple(
             jax.tree_util.tree_map(
-                lambda x: jax.device_put(
-                    jnp.asarray(x), NamedSharding(mesh, _arg_spec(x))), a)
-            for a in batch_args)
+                lambda x, i=i: jax.device_put(
+                    jnp.asarray(x), NamedSharding(mesh, _spec_for(i, x))), a)
+            for i, a in enumerate(batch_args))
         batch_specs = tuple(
-            jax.tree_util.tree_map(_arg_spec, a) for a in placed)
+            jax.tree_util.tree_map(lambda x, i=i: _spec_for(i, x), a)
+            for i, a in enumerate(placed))
         # key must include the specs: a final partial batch can flip an
         # arg from sharded to replicated with the same tree structure
         key = (jax.tree_util.tree_structure((params, opt_state, placed)),

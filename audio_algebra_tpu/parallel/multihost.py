@@ -56,14 +56,22 @@ class HostPrinter:
 
 def global_batch_sharding(mesh, per_host_batch: int):
     """Make a host-local batch into a globally-sharded array
-    (multi-host data parallelism: each host feeds its shard)."""
+    (multi-host data parallelism: each host feeds its shard).
+    `per_host_batch` is validated against every batch placed — a loader
+    that drifts from the agreed shard size would otherwise desync the
+    global array layout across hosts."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def place(local_batch):
         import jax.numpy as jnp
 
+        local_batch = jnp.asarray(local_batch)
+        if local_batch.shape[0] != per_host_batch:
+            raise ValueError(
+                f"local batch {local_batch.shape[0]} != agreed "
+                f"per_host_batch {per_host_batch}")
         if jax.process_count() == 1:
-            return jax.device_put(jnp.asarray(local_batch),
+            return jax.device_put(local_batch,
                                   NamedSharding(mesh, P("data")))
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, P("data")), local_batch)

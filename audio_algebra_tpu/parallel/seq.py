@@ -12,8 +12,8 @@ with XLA/ppermute moving only the conv halos over ICI.
 Building blocks (all under shard_map, all parity-tested against the
 unsharded ops on a virtual mesh):
 
-  * conv1d_seq      — SAME conv with ppermute halo exchange (K//2 samples
-                      per boundary, the only cross-chip traffic)
+  * conv1d_seq      — SAME conv with ppermute halo exchange (K-1 boundary
+                      samples total, the only cross-chip traffic)
   * groupnorm1_seq  — GroupNorm(num_groups=1)+GELU with psum'd statistics
   * resconv_block_seq — a full ResConvBlock (conv-GN-GELU ×2 + residual)
                       running sequence-parallel end to end
@@ -27,35 +27,49 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _halo_exchange(x_local: jnp.ndarray, halo: int, axis_name: str):
+def _halo_exchange(x_local: jnp.ndarray, halo: int, axis_name: str,
+                   halo_r: int | None = None):
     """Append the left/right neighbours' edge samples along time (axis 1).
 
-    x_local: (B, T_shard, C). Edge shards pad with zeros — matching SAME
-    zero padding of the unsharded conv.
+    x_local: (B, T_shard, C). `halo` samples arrive from the left
+    neighbour, `halo_r` (default: same as `halo`) from the right —
+    asymmetric halos match XLA's SAME padding split for even kernels.
+    Edge shards pad with zeros — matching SAME zero padding of the
+    unsharded conv.
     """
+    halo_l = halo
+    if halo_r is None:
+        halo_r = halo_l
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
-    left_edge = x_local[:, :halo]                   # sent to the right
-    right_edge = x_local[:, -halo:]                 # sent to the left
-    # ppermute: shift edges around the (non-wrapping) chain
-    from_left = jax.lax.ppermute(
-        right_edge, axis_name, [(i, i + 1) for i in range(n - 1)])
-    from_right = jax.lax.ppermute(
-        left_edge, axis_name, [(i + 1, i) for i in range(n - 1)])
-    from_left = jnp.where(idx == 0, 0.0, from_left)
-    from_right = jnp.where(idx == n - 1, 0.0, from_right)
-    return jnp.concatenate([from_left, x_local, from_right], axis=1)
+    parts = []
+    if halo_l > 0:
+        right_edge = x_local[:, -halo_l:]           # sent to the right
+        from_left = jax.lax.ppermute(
+            right_edge, axis_name, [(i, i + 1) for i in range(n - 1)])
+        parts.append(jnp.where(idx == 0, 0.0, from_left))
+    parts.append(x_local)
+    if halo_r > 0:
+        left_edge = x_local[:, :halo_r]             # sent to the left
+        from_right = jax.lax.ppermute(
+            left_edge, axis_name, [(i + 1, i) for i in range(n - 1)])
+        parts.append(jnp.where(idx == n - 1, 0.0, from_right))
+    if len(parts) == 1:
+        return x_local
+    return jnp.concatenate(parts, axis=1)
 
 
 def conv1d_seq(x: jnp.ndarray, kernel: jnp.ndarray, mesh: Mesh,
                axis: str = "data") -> jnp.ndarray:
     """SAME stride-1 conv of (B, T, Cin) x (K, Cin, Cout), T sharded over
-    `axis`. Only K//2 boundary samples cross chips."""
+    `axis`. Only the K-1 boundary samples cross chips, split (K-1)//2
+    left / K//2 right to match XLA's SAME padding (low half first) so
+    even kernels align exactly with the unsharded op."""
     k = kernel.shape[0]
-    halo = k // 2
+    halo_l, halo_r = (k - 1) // 2, k // 2
 
     def local(x_local, kern):
-        xh = _halo_exchange(x_local, halo, axis)
+        xh = _halo_exchange(x_local, halo_l, axis, halo_r=halo_r)
         return jax.lax.conv_general_dilated(
             xh, kern, window_strides=(1,), padding="VALID",
             dimension_numbers=("NHC", "HIO", "NHC"))

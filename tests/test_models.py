@@ -92,6 +92,27 @@ def test_split_skip_join_matches_concat():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("padding,stride,dilation",
+                         [("VALID", 1, 1), ("VALID", 2, 1), (0, 1, 2),
+                          (4, 1, 1), ("SAME", 2, 2)])
+def test_conv1d_module_honors_padding(padding, stride, dilation):
+    """Conv1d's `padding` field must drive the computation (it was once a
+    dead field that silently computed SAME for every request) — parity vs
+    the plain lax helper for VALID / int / strided / dilated combos."""
+    from audio_algebra_tpu.models.blocks import Conv1d, conv1d
+
+    x = jax.random.normal(KEY, (2, 64, 16))
+    conv = Conv1d(8, kernel_size=5, stride=stride, dilation=dilation,
+                  padding=padding, use_bias=False)
+    p = conv.init(KEY, x)
+    want = conv1d(x, p["params"]["kernel"], stride=stride,
+                  dilation=dilation, padding=padding)
+    got = conv.apply(p, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_diffusion_unet_uncond():
     net = DiffusionAttnUnet1D(io_channels=4, cond_dim=0, n_attn_layers=0,
@@ -202,6 +223,35 @@ def test_unet_cfg1d_shapes_and_cfg():
     v_null = net.apply(params, x, t)
     assert v_null.shape == x.shape
     assert not np.allclose(np.asarray(v_null), np.asarray(v))
+    # one embedding conditioning B variations broadcasts...
+    v_b1 = net.apply(params, x, t, embedding=emb[:1])
+    assert v_b1.shape == x.shape
+    # ...but a genuine batch mismatch raises instead of silently
+    # conditioning everything on embedding 0
+    with pytest.raises(ValueError, match="embedding batch"):
+        net.apply(params, jnp.ones((4, 4, 32)), jnp.full((4,), 0.5),
+                  embedding=emb)
+
+
+def test_groupnorm_foldable_keeps_activation_dtype(monkeypatch):
+    """The fallback (non-Pallas) GroupNormFoldable path must not promote
+    bf16 activations to f32 via its f32 scale/bias params — that would run
+    every downstream conv at 2x MXU cost (blocks.GroupNorm1 casts back;
+    this class must too)."""
+    from audio_algebra_tpu.models.unet_cfg1d import GroupNormFoldable
+
+    monkeypatch.setenv("AA_LDM_GN", "0")
+    gn = GroupNormFoldable(groups=4)
+    x = jax.random.normal(KEY, (2, 32, 16))
+    params = gn.init(KEY, x)
+    assert params["params"]["scale"].dtype == jnp.float32
+    y = gn.apply(params, x.astype(jnp.bfloat16))
+    assert y.dtype == jnp.bfloat16
+    # FiLM-conditioned call keeps the dtype too when scale/shift are bf16
+    fs = jnp.zeros((2, 1, 16), jnp.bfloat16)
+    y2 = gn.apply(params, x.astype(jnp.bfloat16), film_scale=fs,
+                  film_shift=fs)
+    assert y2.dtype == jnp.bfloat16
 
 
 @pytest.mark.slow

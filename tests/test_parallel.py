@@ -152,6 +152,40 @@ def test_manual_step_replicates_small_vectors_on_tiny_mesh():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_manual_step_arg_specs_shard_per_example_vector():
+    """A per-example rank-1 arg (a (B,) diffusion-timestep vector) breaks
+    the auto rule (it would be replicated at full B against B/n latents) —
+    `arg_specs` must let the caller shard it, and the update must equal
+    the annotated step's."""
+    from jax.sharding import PartitionSpec as P
+    from audio_algebra_tpu.parallel.manual import make_manual_ddp_step
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    w0 = {"w": rng.standard_normal((6, 3)).astype(np.float32)}
+    x = rng.standard_normal((16, 6, 4)).astype(np.float32)   # (B, C, T)
+    t = rng.uniform(0, 1, (16,)).astype(np.float32)          # (B,) per-example
+
+    def loss_fn(p, xb, tb):
+        # alphas (B,1,1) against (B, C, T): fails under the auto rule
+        # (full-B tb vs B/n xb) — the v-objective broadcasting pattern
+        alphas = jnp.cos(tb * jnp.pi / 2)[:, None, None]
+        h = jnp.einsum("bct,cf->bft", xb * alphas, p["w"])
+        loss = jnp.mean(h ** 2)
+        return loss, {"train_loss": loss}
+
+    opt = optax.sgd(1e-1)
+    annotated = make_data_parallel_step(loss_fn, opt, mesh)
+    manual = make_manual_ddp_step(loss_fn, opt, mesh,
+                                  arg_specs=(None, P("data")))
+    p_a, _, _ = annotated(replicate_state(w0, mesh),
+                          replicate_state(opt.init(w0), mesh), x, t)
+    p_m, _, _ = manual(replicate_state(w0, mesh),
+                       replicate_state(opt.init(w0), mesh), x, t)
+    np.testing.assert_allclose(np.asarray(p_a["w"]), np.asarray(p_m["w"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_manual_shard_map_step_mixer_loss_runs():
     """Manual DDP over the real mixer loss: runs, logs finite, loss drops
     over a few steps (local-shard VICReg semantics — the reference's DDP

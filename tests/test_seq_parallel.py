@@ -37,11 +37,15 @@ def test_conv1d_seq_matches_unsharded(mesh):
     assert {s.data.shape for s in out.addressable_shards} == {(2, 128, 24)}
 
 
-def test_conv1d_seq_even_kernel(mesh):
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 7])
+def test_conv1d_seq_any_kernel(mesh, k):
+    """Parity for every kernel size, including even K (XLA SAME padding is
+    asymmetric: (K-1)//2 low / K//2 high) and the halo-free K=1 case."""
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 8))
-    w = jax.random.normal(jax.random.PRNGKey(3), (3, 8, 8)) * 0.2
+    w = jax.random.normal(jax.random.PRNGKey(3), (k, 8, 8)) * 0.2
     ref = conv1d(x, w)
     out = conv1d_seq(_sharded(x, mesh), w, mesh)
+    assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
