@@ -166,20 +166,26 @@ def convert_ldm_state_dict(sd: Dict[str, np.ndarray], params_template):
 
 def convert_dmae_state_dict(sd: Dict[str, np.ndarray], params_template):
     """DMAE1d `model_state_dict` (reference given_models.py:504). The torch
-    DiffusionAE nests an encoder (MelE1d) and a UNetV0; this rebuild's
-    DiffusionAE1d has {encoder, unet}. Torch tensors bucket by whether
-    'encoder' appears in their path; shapes pour where the re-architected
-    towers align (partial by design — the reconstruction is a capability
-    rebuild, not a clone; unmatched tensors are reported)."""
+    DiffusionAE nests an encoder (MelE1d) and the LT-wrapped UNetV0; this
+    rebuild's DiffusionAE1d has {encoder, lt, unet} (models/dmae.py). Two
+    buckets: tensors whose top-level component contains 'encoder' pour into
+    the MelE1d tower; everything else (learned-transform convs + UNetV0)
+    pours into the rest in natural order. Certified numerically against the
+    in-repo mirror (tests/test_convert_parity.py); exact leaf ordering vs
+    the real a-unet state dict is the documented caveat."""
     sd = strip_prefixes(sd)
     enc_names = tuple(
         {n.split(".")[0] + "." for n in sd if "encoder" in n.split(".")[0]}
     ) or ("encoder.",)
-    other = tuple({n.split(".")[0] + "." for n in sd
-                   if n.split(".")[0] + "." not in enc_names})
-    new, hits, misses = convert_by_shape(
+
+    def enc_torch(n):
+        return any(n.startswith(p) for p in enc_names)
+
+    new, hits, misses = _pour_by_predicate(
         sd, params_template,
-        buckets={"encoder": enc_names, "unet": other})
+        [(lambda p: "encoder" in p.split("/"), enc_torch),
+         (lambda p: "encoder" not in p.split("/"),
+          lambda n: not enc_torch(n))])
     report("DMAE1d", hits, misses, _n_params(params_template))
     return new, hits, misses
 

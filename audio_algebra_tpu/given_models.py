@@ -543,9 +543,12 @@ class DMAE1d(GivenModelClass):
     48k<->44.1k resampling around a mel-encoder diffusion AE; decode is
     50-step sampling.
 
-    The TPU rebuild composes the same capability from in-repo parts: a mel
-    Encoder1d-style tower to 32-d tanh latents (MelE1d-equivalent) and a
-    DiffusionAttnUnet1D decoder conditioned on the latents.
+    models.dmae rebuilds the wrapped architecture itself — MelE1d tower to
+    32-d tanh latents, LTPlugin (128-filter/stride-64 learned transform)
+    around a UNetV0 with the latent injected at depth 4 (reference
+    given_models.py:449-478) — so `model_state_dict` checkpoints pour
+    module-for-module (numerically certified vs the in-repo torch mirror,
+    tests/test_convert_parity.py).
     """
 
     def __init__(self, debug: bool = False, model_kwargs: Optional[dict] = None,
@@ -556,17 +559,9 @@ class DMAE1d(GivenModelClass):
             'ckpt_url': 'https://drive.google.com/file/d/1KKwPbM_Qmu5QvpAs3DdRaYlkaRTG-WJv/view?usp=share_link',
             'ckpt_path': '~/checkpoints/dmae1d_checkpoint.ckpt',
             'ckpt_hash': 'a11a9c68e5962830b142202e25b3080f553a3a73cd944225b3c7d21fe8c631e9'}
-        mk = dict(latent_dim=32, n_mels=80, mel_sample_rate=44100,
-                  downsample=1024, unet_c_mults=(128, 128, 256, 256, 512),
-                  n_attn_layers=2)
-        mk.update(model_kwargs or {})
-        self._cfg = mk
         from .models.dmae import DiffusionAE1d
-        self.model = DiffusionAE1d(
-            latent_dim=mk['latent_dim'], n_mels=mk['n_mels'],
-            sample_rate=mk['mel_sample_rate'], downsample=mk['downsample'],
-            unet_c_mults=tuple(mk['unet_c_mults']),
-            n_attn_layers=mk['n_attn_layers'])
+        self.model = DiffusionAE1d(**(model_kwargs or {}))
+        self._cfg = {'downsample': self.model.downsampling_ratio}
         self.params = None
         self.num_steps = 50
 

@@ -129,15 +129,22 @@ def test_convert_ldm_prefers_ema_model():
     _assert_mostly_landed(converted, target_ema)
 
 
-def test_convert_dmae_partial_pour():
+def test_convert_dmae_full_pour():
+    """Synthetic round-trip through the {encoder, rest} bucket split (the
+    forward-parity certification lives in test_convert_parity.py)."""
     from audio_algebra_tpu.models.dmae import DiffusionAE1d
-    m = DiffusionAE1d(latent_dim=4, n_mels=8, unet_c_mults=(8, 8),
-                      n_attn_layers=1, downsample=64)
+    m = DiffusionAE1d(
+        channels=(8, 16), factors=(1, 2), items=(1, 1),
+        linear_attentions=(0, 1), attention_features=4, attention_heads=2,
+        inject_depth=1, latent_dim=4, resnet_groups=4,
+        num_filters=8, window_length=32, lt_stride=16,
+        enc_channels=16, enc_multipliers=(1, 1), enc_factors=(2,),
+        enc_num_blocks=(1,), n_mels=16, mel_n_fft=64, mel_hop=16)
     params = fast_random_params(m, 0, jnp.zeros((1, 2, 1024)),
                                 jnp.zeros((1,)))
     rng = np.random.default_rng(9)
     sd, target = _synthetic_sd(
-        params, {"encoder": "encoder", "unet": "unet"}, rng)
+        params, {"encoder": "encoder", "unet": "unet", "lt": "lt"}, rng)
     converted, hits, misses = convert_dmae_state_dict(sd, params)
     assert hits == len(target), (hits, len(target), misses[:5])
     _assert_mostly_landed(converted, target)

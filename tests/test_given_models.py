@@ -158,9 +158,17 @@ def test_stacked_diffae_turbo_aux_decode(monkeypatch):
     assert rel < 0.1, rel
 
 
+TINY_DMAE = dict(
+    channels=(8, 16), factors=(1, 2), items=(1, 1),
+    linear_attentions=(0, 1), attention_features=4, attention_heads=2,
+    inject_depth=1, latent_dim=4, resnet_groups=4,
+    num_filters=8, window_length=32, lt_stride=16,
+    enc_channels=16, enc_multipliers=(1, 1), enc_factors=(2,),
+    enc_num_blocks=(1,), n_mels=16, mel_n_fft=64, mel_hop=16)
+
+
 def test_dmae1d_wrapper():
-    w = DMAE1d(model_kwargs=dict(latent_dim=4, n_mels=16, downsample=256,
-                                 unet_c_mults=(8, 16), n_attn_layers=0))
+    w = DMAE1d(model_kwargs=TINY_DMAE)
     w.num_steps = 2
     x = np.random.default_rng(3).standard_normal((1, 2, 4096)).astype(np.float32)
     z = w.encode(x)

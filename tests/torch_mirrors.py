@@ -868,3 +868,201 @@ class StackedAELatentDiffusionCondLDM(nn.Module):
         super().__init__()
         self.diffusion = TorchUNetCFG1d(**cfg)
         self.diffusion_ema = _EmaPytorch(self.diffusion)
+
+
+# ----------------------------------------------------- DMAE (DiffusionAE) ---
+# Torch mirror of models/dmae.py's UNetV0 + LTPlugin + MelE1d rebuild
+# (reference given_models.py:449-478). Module registration order follows the
+# flax execution order and item-internal names match the flax auto-names, so
+# the natural-sort + kind-aware shape pour pairs deterministically.
+
+
+class _DmaeResnetItem(nn.Module):
+    def __init__(self, c_in, c_out, groups=8):
+        super().__init__()
+        self.GroupNorm_0 = nn.GroupNorm(groups, c_in, eps=1e-6)
+        self.Conv1d_0 = nn.Conv1d(c_in, c_out, 3, padding=1)
+        self.GroupNorm_1 = nn.GroupNorm(groups, c_out, eps=1e-6)
+        self.Conv1d_1 = nn.Conv1d(c_out, c_out, 3, padding=1)
+        self.Conv1d_2 = nn.Conv1d(c_in, c_out, 1, bias=False) \
+            if c_in != c_out else nn.Identity()
+
+    def forward(self, x):
+        h = self.Conv1d_0(F.silu(self.GroupNorm_0(x)))
+        h = self.Conv1d_1(F.silu(self.GroupNorm_1(h)))
+        return self.Conv1d_2(x) + h
+
+
+class _DmaeModulationItem(nn.Module):
+    def __init__(self, c, modulation_features, groups=8):
+        super().__init__()
+        self.Dense_0 = nn.Linear(modulation_features, 2 * c)
+        self.norm = nn.GroupNorm(groups, c, eps=1e-6, affine=False)
+
+    def forward(self, x, emb):
+        s, b = self.Dense_0(F.silu(emb)).chunk(2, dim=-1)
+        return self.norm(x) * (1 + s[:, :, None]) + b[:, :, None]
+
+
+class _DmaeInjectItem(nn.Module):
+    def __init__(self, c, ctx_channels):
+        super().__init__()
+        self.Conv1d_0 = nn.Conv1d(c + ctx_channels, c, 1)
+
+    def forward(self, x, ctx):
+        return self.Conv1d_0(torch.cat([x, ctx], dim=1))
+
+
+class _DmaeLinearAttentionItem(nn.Module):
+    def __init__(self, c, heads, head_features):
+        super().__init__()
+        self.heads, self.head_features = heads, head_features
+        inner = heads * head_features
+        self.GroupNorm_0 = nn.GroupNorm(1, c, eps=1e-6)
+        self.to_q = nn.Linear(c, inner, bias=False)
+        self.to_k = nn.Linear(c, inner, bias=False)
+        self.to_v = nn.Linear(c, inner, bias=False)
+        self.to_out = nn.Linear(inner, c)
+
+    def forward(self, x):
+        b, c, t = x.shape
+        hd, nh = self.head_features, self.heads
+        h = self.GroupNorm_0(x).transpose(1, 2)            # (B, T, C)
+        q = self.to_q(h).view(b, t, nh, hd)
+        k = self.to_k(h).view(b, t, nh, hd)
+        v = self.to_v(h).view(b, t, nh, hd)
+        q = q.float().softmax(dim=-1) * hd ** -0.5
+        k = k.float().softmax(dim=1)
+        ctx = torch.einsum("bshd,bshe->bhde", k, v.float())
+        y = torch.einsum("bthd,bhde->bthe", q, ctx).to(x.dtype)
+        y = self.to_out(y.reshape(b, t, nh * hd))
+        return x + y.transpose(1, 2)
+
+
+class TorchUNetV0(nn.Module):
+    """Mirror of models/dmae.UNetV0: down [conv2f/f + items]*, up
+    [(cat skip) + items + convT]* with the latent injected at the
+    context_channels level, AdaGN time modulation from a shared
+    1024-d embedding."""
+
+    def __init__(self, in_channels, channels, factors, items,
+                 linear_attentions, context_channels,
+                 attention_features=64, attention_heads=8,
+                 resnet_groups=8, modulation_features=1024,
+                 out_channels=None):
+        super().__init__()
+        self.time_ff = FourierFeatures(1, 256)
+        self.time_mlp_0 = nn.Linear(256, modulation_features)
+        self.time_mlp_1 = nn.Linear(modulation_features, modulation_features)
+        n = len(channels)
+        self._idx = 0
+        plan = []
+
+        def add(mod):
+            name = f"n{self._idx:03d}"
+            self.add_module(name, mod)
+            self._idx += 1
+            return name
+
+        def level_items(i, c_in_first):
+            c = channels[i]
+            out = []
+            for r in range(items[i]):
+                out.append(("res", add(_DmaeResnetItem(
+                    c_in_first if r == 0 else c, c, resnet_groups))))
+                out.append(("mod", add(_DmaeModulationItem(
+                    c, modulation_features, resnet_groups))))
+                if context_channels[i]:
+                    out.append(("inj", add(_DmaeInjectItem(
+                        c, context_channels[i]))))
+                for _ in range(linear_attentions[i]):
+                    out.append(("att", add(_DmaeLinearAttentionItem(
+                        c, attention_heads, attention_features))))
+            return out
+
+        prev = in_channels
+        for i in range(n):                       # down
+            f, c = factors[i], channels[i]
+            plan.append(("op", add(
+                nn.Conv1d(prev, c, 2 * f if f > 1 else 1, stride=f,
+                          padding=(f // 2 if f > 1 else 0)))))
+            prev = c
+            plan += level_items(i, c)
+            if i < n - 1:
+                plan.append(("push", None))
+        for i in reversed(range(n)):             # up
+            f, c = factors[i], channels[i]
+            if i < n - 1:
+                plan.append(("cat", None))
+            plan += level_items(i, 2 * c if i < n - 1 else c)
+            c_out = (out_channels or in_channels) if i == 0 \
+                else channels[i - 1]
+            if f > 1:
+                plan.append(("op", add(nn.ConvTranspose1d(
+                    c, c_out, 2 * f, stride=f, padding=f // 2))))
+            else:
+                plan.append(("op", add(nn.Conv1d(c, c_out, 1))))
+        self.plan = plan
+
+    def forward(self, x, t, context=None):
+        emb = self.time_mlp_1(F.silu(self.time_mlp_0(
+            self.time_ff(t[:, None]))))
+        skips, h = [], x
+        for kind, name in self.plan:
+            if kind == "push":
+                skips.append(h)
+            elif kind == "cat":
+                h = torch.cat([h, skips.pop()], dim=1)
+            elif kind == "mod":
+                h = getattr(self, name)(h, emb)
+            elif kind == "inj":
+                h = getattr(self, name)(h, context)
+            else:
+                h = getattr(self, name)(h)
+        return h
+
+
+class TorchMelE1dTower(Encoder1d):
+    """MelE1d's parameterised part: the Encoder1d tower + TanhBottleneck
+    (the log-mel front end is parameter-free DSP)."""
+
+    def forward(self, logmel):
+        return torch.tanh(super().forward(logmel))
+
+
+class TorchDMAE(nn.Module):
+    """DiffusionAE layout mirror: encoder tower + LT analysis/synthesis
+    convs + UNetV0, registered in the flax natural-sort order
+    (encoder < lt_in < lt_out < unet)."""
+
+    def __init__(self, in_channels=2, channels=(8, 16), factors=(1, 2),
+                 items=(1, 1), linear_attentions=(0, 1),
+                 attention_features=4, attention_heads=2, inject_depth=1,
+                 latent_dim=4, resnet_groups=4, num_filters=8,
+                 window_length=32, lt_stride=16, enc_channels=16,
+                 enc_multipliers=(1, 1), enc_factors=(2,),
+                 enc_num_blocks=(1,), n_mels=16):
+        super().__init__()
+        self.encoder = TorchMelE1dTower(
+            in_channels=in_channels * n_mels, out_channels=latent_dim,
+            channels=enc_channels, multipliers=enc_multipliers,
+            factors=enc_factors, num_blocks=enc_num_blocks)
+        pad = (window_length - lt_stride) // 2
+        self.lt_in = nn.Conv1d(in_channels, num_filters, window_length,
+                               stride=lt_stride, padding=pad)
+        self.lt_out = nn.ConvTranspose1d(num_filters, in_channels,
+                                         window_length, stride=lt_stride,
+                                         padding=pad)
+        ctx = [0] * len(channels)
+        ctx[inject_depth] = latent_dim
+        self.unet = TorchUNetV0(
+            in_channels=num_filters, channels=channels, factors=factors,
+            items=items, linear_attentions=linear_attentions,
+            context_channels=ctx, attention_features=attention_features,
+            attention_heads=attention_heads, resnet_groups=resnet_groups)
+
+    def encode_mel(self, logmel):
+        return self.encoder(logmel)
+
+    def decode_v(self, x, t, latent):
+        return self.lt_out(self.unet(self.lt_in(x), t, latent))
