@@ -85,11 +85,14 @@ def train_aa_model(given_model, train_dl, args, aa_model: Optional[AABundle] = N
     sched = optax.cosine_onecycle_schedule(total_steps, max_lr)
     opt = optax.adam(sched)
     opt_state = opt.init(aa_model.params)
-    loss_fn = make_effects_loss_fn(aa_model.module,
-                                   given_model_encode_fn(given_model))
+    enc = given_model_encode_fn(given_model)
 
     @jax.jit
-    def train_step(params, opt_state, a1, b1, a2, b2):
+    def train_step(params, opt_state, enc_params, a1, b1, a2, b2):
+        # frozen encoder params as arguments, not baked XLA constants
+        # (see aa_mixer.train_aa_model)
+        loss_fn = make_effects_loss_fn(
+            aa_model.module, lambda x: enc.pure(enc_params, x))
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, a1, b1, a2, b2)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -99,9 +102,11 @@ def train_aa_model(given_model, train_dl, args, aa_model: Optional[AABundle] = N
     params, step = aa_model.params, 0
     history = []
     for epoch in range(max_epochs):
-        for batch in train_dl:
+        for batch_i, batch in enumerate(train_dl):
+            if batch_i >= steps_per_epoch:
+                break   # keep the loop on the OneCycle schedule's clock
             params, opt_state, logs = train_step(
-                params, opt_state,
+                params, opt_state, enc.get_params(),
                 jnp.asarray(batch["a1"]), jnp.asarray(batch["b1"]),
                 jnp.asarray(batch["a2"]), jnp.asarray(batch["b2"]))
             logs = {k: float(v) for k, v in logs.items()}

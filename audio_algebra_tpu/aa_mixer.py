@@ -194,9 +194,17 @@ def aa_demo(given_model, aa_model, log_dict, zsum, zmix, step: int,
     aa_mixer.py:330-341)."""
     from .utils.audio_io import save_audio
 
+    import inspect
+    # the wrappers' step-count keyword differs (demo_steps / steps /
+    # num_steps; the DSP AEs take none) — pass it where one exists instead
+    # of positionally (a TypeError on the **kwargs-only decoders)
+    sig = inspect.signature(type(given_model).decode)
+    step_kw = next((
+        {nm: demo_steps} for nm in ("demo_steps", "steps", "num_steps")
+        if nm in sig.parameters), {})
     for var, name in zip([zsum, zmix], ['zsum', 'zmix']):
         y = aa_model.decode(var)
-        fake_audio = given_model.decode(y, demo_steps)
+        fake_audio = given_model.decode(y, **step_kw)
         filename = f'{out_dir}/{name}_{step:08}.wav'
         save_audio(filename, np.clip(np.asarray(fake_audio), -1, 1), sr)
         log_dict[name] = filename
@@ -226,10 +234,16 @@ def train_aa_model(given_model, train_dl, args, aa_model: Optional[AABundle] = N
     sched = optax.cosine_onecycle_schedule(total_steps, max_lr)
     opt = optax.adam(sched)
     opt_state = opt.init(aa_model.params)
-    loss_fn = make_mixer_loss_fn(aa_model.module, given_model_encode_fn(given_model))
+    enc = given_model_encode_fn(given_model)
 
     @jax.jit
-    def train_step(params, opt_state, stems, faders, batch):
+    def train_step(params, opt_state, enc_params, stems, faders, batch):
+        # the frozen encoder params ride as ARGUMENTS: a closure would bake
+        # them into the executable as XLA constants (duplicated HBM, and a
+        # post-trace checkpoint pour would silently train against stale
+        # weights)
+        loss_fn = make_mixer_loss_fn(
+            aa_model.module, lambda x: enc.pure(enc_params, x))
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, stems, faders, batch)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -241,14 +255,16 @@ def train_aa_model(given_model, train_dl, args, aa_model: Optional[AABundle] = N
     history = []
     for epoch in range(max_epochs):
         train_iter = iter(train_dl)
-        for batch in train_dl:
+        for batch_i, batch in enumerate(train_dl):
+            if batch_i >= steps_per_epoch:
+                break   # keep the loop on the OneCycle schedule's clock
             batch = np.asarray(batch)
             stems, faders, train_iter = get_stems_faders(
                 batch, train_iter, train_dl, maxstems=getattr(args, 'maxstems', 2),
                 rng=rng)
             params, opt_state, logs = train_step(
-                params, opt_state, jnp.asarray(stems), jnp.asarray(faders),
-                jnp.asarray(batch))
+                params, opt_state, enc.get_params(), jnp.asarray(stems),
+                jnp.asarray(faders), jnp.asarray(batch))
             logs = {k: float(v) for k, v in logs.items()}
             logs.update(epoch=epoch, step=step,
                         learning_rate=float(sched(step)))
@@ -264,21 +280,27 @@ def given_model_encode_fn(given_model) -> Callable:
     """Pure (jit-safe) encode closure for a wrapper with flax params.
 
     Spectrogram AEs encode with pure DSP; model wrappers expose
-    (params, module) pairs.
+    (params, module) pairs. The returned `fn(x)` reads the wrapper's
+    CURRENT params (fine for eager use); jitted training loops should use
+    the attached `fn.pure(params, x)` + `fn.get_params()` pair instead so
+    the frozen encoder rides as an argument, not a baked XLA constant.
     """
+    def _wrap(pure, get_params):
+        def fn(x):
+            return pure(get_params(), x)
+        fn.pure, fn.get_params = pure, get_params
+        return fn
+
     if hasattr(given_model, 'model') and hasattr(given_model, 'params_ema'):
         mdl = given_model.model
         given_model._ensure_params()
-
-        def fn(x):
-            return mdl.apply(given_model.params_ema, x,
-                             method=type(mdl).encode_it)
-        return fn
+        return _wrap(
+            lambda p, x: mdl.apply(p, x, method=type(mdl).encode_it),
+            lambda: given_model.params_ema)
     if hasattr(given_model, 'model') and hasattr(given_model, 'params'):
         mdl = given_model.model
         given_model._ensure_params()
-
-        def fn(x):
-            return mdl.apply(given_model.params, x, method=type(mdl).encode)
-        return fn
-    return lambda x: given_model.encode(x)
+        return _wrap(lambda p, x: mdl.apply(p, x, method=type(mdl).encode),
+                     lambda: given_model.params)
+    # pure-DSP encoders have no params: thread an empty pytree
+    return _wrap(lambda p, x: given_model.encode(x), lambda: ())

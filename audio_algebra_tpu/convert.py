@@ -312,6 +312,15 @@ def _pour_by_predicate(sd: Dict[str, np.ndarray], params_template,
         for tname, arr in deferred:
             if not pour_one(tname, arr, torch_kind(tname, arr)):
                 misses.append(tname)
+    # tensors claimed by NO bucket never enter the loops above; surface
+    # them so a converter whose buckets under-claim can't look clean
+    # ("hit/miss counts are always reported" — module docstring)
+    unclaimed = [n for n in sorted(sd, key=_natkey)
+                 if not _is_buffer(n) and np.asarray(sd[n]).ndim >= 1
+                 and not any(tp(n) for _, tp in pairs)]
+    if unclaimed:
+        print(f"convert: {len(unclaimed)} torch tensors outside every "
+              f"bucket were not poured (e.g. {unclaimed[0]})")
     return jax.tree_util.tree_unflatten(treedef, new_leaves), hits, misses
 
 
@@ -637,9 +646,14 @@ def convert_clap_state_dict(sd: Dict[str, np.ndarray], audio_template,
         misses.append(name)
     new_audio, ha, mm_a = _pour_named(audio_entries, audio_template)
     new_text, ht, mm_t = _pour_named(text_entries, text_template)
-    misses += ["/".join(m) for m in mm_a + mm_t]
-    report("CLAP audio tower", ha, misses, _n_params(audio_template))
-    report("CLAP text tower", ht, [], _n_params(text_template))
+    mm_a = ["/".join(m) for m in mm_a]
+    mm_t = ["/".join(m) for m in mm_t]
+    report("CLAP audio tower", ha, mm_a, _n_params(audio_template))
+    report("CLAP text tower", ht, mm_t, _n_params(text_template))
+    if misses:
+        print(f"CLAP: {len(misses)} tensors matched neither tower's naming "
+              f"scheme (e.g. {misses[0]})")
+    misses += mm_a + mm_t
     if skipped:
         print(f"CLAP: skipped {skipped} non-embedding tensors "
               "(front-end/head/fusion/buffers — see convert._CLAP_SKIP_MARKERS)")

@@ -254,6 +254,15 @@ class AudioDataset:
         self.silence_thresh = silence_thresh
         self.max_redraws = max_redraws
         self.filenames = get_audio_filenames(paths) if filenames is None else filenames
+        loadable = ('.wav', '.wave', '.mp3')   # what the native codec decodes
+        skipped = [f for f in self.filenames
+                   if Path(f).suffix.lower() not in loadable]
+        if skipped:
+            print(f"AudioDataset: skipping {len(skipped)} files in formats "
+                  f"the native codec can't decode yet (supported: wav/mp3), "
+                  f"e.g. {skipped[0]}")
+            self.filenames = [f for f in self.filenames
+                              if Path(f).suffix.lower() in loadable]
         print(f"AudioDataset:{len(self.filenames)} files found.")
         self.n_files = int(len(self.filenames) * load_frac)
         self.filenames = self.filenames[: self.n_files]
@@ -309,7 +318,12 @@ class AudioDataset:
             idx = random.randint(0, len(self.filenames) - 1)
             x, redraws = self.get_next_chunk(idx), redraws + 1
         if x is None:
-            return self[random.randrange(len(self))]
+            # a corpus where every draw fails must error clearly — the old
+            # `self[random...]` fallback recursed unboundedly AND returned
+            # the subclass __getitem__'s dict where an ndarray is expected
+            raise RuntimeError(
+                f"AudioDataset: no loadable chunk after {self.max_redraws} "
+                "redraws — is the corpus readable?")
         return x
 
     def __getitem__(self, idx: int) -> np.ndarray:

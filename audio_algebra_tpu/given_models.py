@@ -100,7 +100,12 @@ class GivenModelClass:
         recons = self.decode(reps)
         return (reps, recons)
 
-    __call__ = forward
+    def __call__(self, *args, **kwargs):
+        """torch nn.Module semantics: calling the wrapper dispatches to the
+        (possibly subclass-overridden) forward — `__call__ = forward` in the
+        class body would freeze the BASE forward and silently bypass
+        DMAE1d/CLAPDAE overrides."""
+        return self.forward(*args, **kwargs)
 
     def get_checkpoint(self, gdrive: bool = True):
         """Ensure the checkpoint file exists locally (reference :84-121).
@@ -119,8 +124,10 @@ class GivenModelClass:
             print("Checkpoint found!")
             if info.get('ckpt_hash'):
                 digest = hashlib.sha256(Path(ckpt_file).read_bytes()).hexdigest()
-                assert digest == info['ckpt_hash'], \
-                    "Hashes don't match. STOP. DO NOT EXECUTE."
+                if digest != info['ckpt_hash']:
+                    # explicit raise, not assert: `python -O` strips asserts
+                    # and a tampered checkpoint must never load silently
+                    raise RuntimeError("Hashes don't match. STOP. DO NOT EXECUTE.")
                 print("Checkpoint hash checks out.")
             return
         url = info.get('ckpt_url', '')
@@ -128,11 +135,19 @@ class GivenModelClass:
             print(f"Downloading to {ckpt_file}")
             try:
                 # argv list, not a shell string: ckpt_info values can come
-                # from config/CLI and must not reach a shell
+                # from config/CLI and must not reach a shell. --fail keeps
+                # HTTP error/HTML pages from being saved as the checkpoint.
                 subprocess.run(
-                    ["curl", "-L", "--connect-timeout", "5", "--max-time",
-                     "300", url, "-o", ckpt_file],
+                    ["curl", "-L", "--fail", "--connect-timeout", "5",
+                     "--max-time", "300", url, "-o", ckpt_file],
                     check=True, timeout=330)
+                if info.get('ckpt_hash'):
+                    digest = hashlib.sha256(
+                        Path(ckpt_file).read_bytes()).hexdigest()
+                    if digest != info['ckpt_hash']:
+                        os.remove(ckpt_file)
+                        print("Downloaded file failed its SHA-256 check; "
+                              "removed. Continuing without checkpoint")
             except Exception as e:
                 print(f"Download failed ({e}); continuing without checkpoint")
 
@@ -287,11 +302,6 @@ class MelSpectrogramAE(GivenModelClass):
                                   self.n_mels),
                 self.n_fft, self.hop_length, power=2.0, n_iter=self.n_iter, key=k))
         return self.match_sizes(fn(melspec, key))
-
-    def forward(self, waveform):
-        reps = self.encode(waveform)
-        recons = self.decode(reps)
-        return (reps, recons)
 
 
 # --------------------------------------------------------------------------
@@ -725,10 +735,6 @@ class RAVEWrapper(GivenModelClass):
         fn = self._cached_jit(f"dec{reps.shape}", lambda p, z: self.model.apply(
             p, z, method=type(self.model).decode))
         return fn(self.params, reps)
-
-    def forward(self, waveform):
-        reps = self.encode(waveform)
-        return (reps, self.decode(reps))
 
 
 class CLAPDAE(GivenModelClass):

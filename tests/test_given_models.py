@@ -176,6 +176,10 @@ def test_dmae1d_wrapper():
     assert bool((np.abs(np.asarray(z)) <= 1).all())
     y = w.decode(z)
     assert y.shape[-1] == x.shape[-1]      # match_sizes back to 48k length
+    # __call__ dispatches to the DMAE forward OVERRIDE (audio out), not the
+    # base (reps, recons) tuple — torch nn.Module semantics
+    out = w(x)
+    assert not isinstance(out, tuple) and out.shape[-1] == x.shape[-1]
 
 
 def test_rave_wrapper():
