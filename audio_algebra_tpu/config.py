@@ -77,12 +77,22 @@ def get_all_args(defaults_file: str = "defaults.ini", argv=None) -> ConfigNamesp
     pre_args, remaining = pre.parse_known_args(argv)
 
     conf = read_defaults_ini(pre_args.config_file)
+    # rebuild-addition keys (max_epochs, max_lr, lr, ...) live in the
+    # in-code DEFAULTS; register them too so `--max_epochs 1` works even
+    # against an INI that predates them (unknown flags used to be silently
+    # dropped by parse_known_args)
+    extras = {k: v for k, v in DEFAULTS.items() if k not in conf}
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", type=str, default=pre_args.config_file)
-    for key, val in conf.items():
+    for key in list(conf) + list(extras):
         parser.add_argument(f"--{key}", type=str, default=None)
-    ns, _unknown = parser.parse_known_args(argv)
+    ns, unknown = parser.parse_known_args(argv)
+    bad = [u for u in unknown if u.startswith("--")]
+    if bad:
+        print(f"get_all_args: ignoring unknown flags {bad}")
+    for key, default in extras.items():
+        conf[key] = default
     for key in conf:
         override = getattr(ns, key, None)
         if override is not None:
@@ -148,10 +158,16 @@ DEFAULTS = dict(
     start_method="spawn",
     demo_steps=250,
     # rebuild additions (the reference hardcoded these in training code:
-    # max_epochs=40 aa_mixer.py:371, max_lr=1e-3 :375, hidden 64 :384)
+    # max_epochs=40 aa_mixer.py:371, max_lr=1e-3 :375, hidden 64 :384;
+    # the CLAPDAE generator lr/T_max/cfg-dropout from
+    # train_stacked_latent_clap_audio_all_wds.py)
     max_epochs=40,
     max_lr=1e-3,
     hidden_dims=64,
+    steps_per_epoch=0,   # 0 = one pass over the DataLoader per epoch
+    lr=4e-5,
+    lr_t_max=500,
+    cfg_dropout=0.1,
 )
 
 

@@ -19,13 +19,23 @@ import numpy as np
 
 def fast_random_params(model, rng_or_seed, *args, dtype=jnp.float32, **kwargs) -> Any:
     """Shape-only init: returns a params pytree matching `model.init(...)`."""
+    def _seed_of(key) -> int:
+        # derive the host-side fill seed from the PRNG key so two wrappers
+        # seeded differently get different random init (seed used to
+        # silently fall back to 0 for key/rngs-dict callers)
+        try:
+            return int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+        except Exception:
+            return 0
+
     if isinstance(rng_or_seed, int):
         rngs = {"params": jax.random.PRNGKey(rng_or_seed)}
         seed = rng_or_seed
     elif isinstance(rng_or_seed, dict):
-        rngs, seed = rng_or_seed, 0
+        rngs = rng_or_seed
+        seed = _seed_of(rngs.get("params")) if "params" in rngs else 0
     else:
-        rngs, seed = {"params": rng_or_seed}, 0
+        rngs, seed = {"params": rng_or_seed}, _seed_of(rng_or_seed)
 
     shapes = jax.eval_shape(lambda: model.init(rngs, *args, **kwargs))
     np_rng = np.random.default_rng(seed)

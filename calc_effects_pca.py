@@ -40,8 +40,14 @@ def make_streaming_cov_step(encode_fn, mesh=None):
     import jax
     import jax.numpy as jnp
 
-    def step(cov_num, mean_num, count, batch):
-        ys = encode_fn(batch)                       # (b, d, n)
+    # frozen encoder params ride as a step ARGUMENT (not trace-time baked
+    # XLA constants — see given_model_encode_fn's docstring); plain
+    # encode closures without the .pure protocol still work
+    pure = getattr(encode_fn, "pure", lambda p, x: encode_fn(x))
+    get_params = getattr(encode_fn, "get_params", lambda: ())
+
+    def step(cov_num, mean_num, count, enc_params, batch):
+        ys = pure(enc_params, batch)                # (b, d, n)
         b, d, n = ys.shape
         flat = jnp.swapaxes(ys, 0, 1).reshape(d, b * n)   # 'b d n -> d (b n)'
         cov_num = cov_num + jnp.matmul(flat, flat.T,
@@ -51,18 +57,22 @@ def make_streaming_cov_step(encode_fn, mesh=None):
         return cov_num, mean_num, count
 
     if mesh is None:
-        return jax.jit(step)
+        jitted = jax.jit(step)
+
+        def run(cov_num, mean_num, count, batch):
+            return jitted(cov_num, mean_num, count, get_params(), batch)
+        return run
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data", None, None))
-    jitted = jax.jit(step, in_shardings=(repl, repl, repl, batch_sh),
+    jitted = jax.jit(step, in_shardings=(repl, repl, repl, repl, batch_sh),
                      out_shardings=(repl, repl, repl))
 
     def run(cov_num, mean_num, count, batch):
         batch = jax.device_put(jnp.asarray(batch), batch_sh)
-        return jitted(cov_num, mean_num, count, batch)
+        return jitted(cov_num, mean_num, count, get_params(), batch)
 
     return run
 

@@ -31,7 +31,14 @@ def unpack_audio_tup(audio_tup, verbose: bool = True):
     audio = np.asarray(audio)
     in_dtype = audio.dtype
     if np.issubdtype(in_dtype, np.integer):
-        audio = audio.astype(np.float32) / 32768.0
+        # dtype-aware PCM scale: /32768 is only right for int16 (int32 PCM
+        # would overflow [-1,1] 65536x; uint8 is offset-binary)
+        ii = np.iinfo(in_dtype)
+        if ii.min < 0:
+            audio = audio.astype(np.float32) / float(-int(ii.min))
+        else:
+            half = float(ii.max + 1) / 2.0
+            audio = (audio.astype(np.float32) - half) / half
     audio = audio.astype(np.float32)
     mono_in = audio.ndim == 1
     if mono_in:

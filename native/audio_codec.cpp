@@ -37,9 +37,8 @@ struct Mpg123 {
     bool  ok = false;
 };
 
-static Mpg123& mpg() {
-    static Mpg123 m;
-    if (m.lib) return m;
+static Mpg123 mpg_load() {
+    Mpg123 m;
     m.lib = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_GLOBAL);
     if (!m.lib) { m.ok = false; return m; }
     m.init        = (int(*)(void))dlsym(m.lib, "mpg123_init");
@@ -56,22 +55,35 @@ static Mpg123& mpg() {
     return m;
 }
 
+static Mpg123& mpg() {
+    // C++11 magic static: thread-safe one-time init. The previous
+    // `if (m.lib) return m;` lazy guard raced when aa_decode_batch's
+    // thread pool hit the first mp3s concurrently (half-initialised
+    // function pointers / m.ok false negatives).
+    static Mpg123 m = mpg_load();
+    return m;
+}
+
 static const int AA_MPG123_OK = 0;
 static const int AA_MPG123_DONE = -12;
 static const int AA_ENC_SIGNED_16 = 0xD0;   // MPG123_ENC_SIGNED_16
 
-extern "C" long long aa_decode_mp3(const char* path, float** out,
-                                   int* channels, int* rate) {
-    *out = nullptr; *channels = 0; *rate = 0;
+static long long aa_decode_mp3_impl(const char* path, float** out,
+                                    int* channels, int* rate) {
     Mpg123& m = mpg();
     if (!m.ok) return -1;            // library unavailable
     int err = 0;
     mpg123_handle* h = m.make(nullptr, &err);
     if (!h) return -2;
-    if (m.open(h, path) != AA_MPG123_OK) { m.del(h); return -3; }
+    struct Guard {                   // close+delete even if a vector throws
+        Mpg123& m; mpg123_handle* h; bool opened = false;
+        ~Guard() { if (opened) m.close(h); m.del(h); }
+    } guard{m, h};
+    if (m.open(h, path) != AA_MPG123_OK) return -3;
+    guard.opened = true;
     long r = 0; int ch = 0, enc = 0;
     if (m.getformat(h, &r, &ch, &enc) != AA_MPG123_OK || ch <= 0 || r <= 0) {
-        m.close(h); m.del(h); return -4;
+        return -4;
     }
     // force s16 output at the native rate/channels so the read loop is fixed-format
     if (m.format_none && m.format) {
@@ -91,7 +103,6 @@ extern "C" long long aa_decode_mp3(const char* path, float** out,
         if (rc == AA_MPG123_DONE) break;
         if (rc != AA_MPG123_OK && done == 0) break;
     }
-    m.close(h); m.del(h);
     if (pcm.empty()) return -5;
     long long frames = (long long)(pcm.size() / ch);
     float* data = (float*)malloc(sizeof(float) * pcm.size());
@@ -101,20 +112,36 @@ extern "C" long long aa_decode_mp3(const char* path, float** out,
     return frames;
 }
 
+extern "C" long long aa_decode_mp3(const char* path, float** out,
+                                   int* channels, int* rate) {
+    *out = nullptr; *channels = 0; *rate = 0;
+    try {
+        return aa_decode_mp3_impl(path, out, channels, rate);
+    } catch (...) {
+        *out = nullptr;
+        return -7;
+    }
+}
+
 // ------------------------------------------------------------------- WAV ---
 static uint32_t rd_u32(const unsigned char* p) {
     return p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24);
 }
 static uint16_t rd_u16(const unsigned char* p) { return p[0] | (p[1] << 8); }
 
-extern "C" long long aa_read_wav(const char* path, float** out,
-                                 int* channels, int* rate) {
-    *out = nullptr; *channels = 0; *rate = 0;
+static long long aa_read_wav_impl(const char* path, float** out,
+                                  int* channels, int* rate) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
+    struct Closer { FILE* f; ~Closer() { fclose(f); } } closer{f};
+    // file size bounds every chunk-size field: a corrupt 32-bit size
+    // (~0xFFFFFFFF) must fail cleanly, not attempt a 4 GB resize
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
     unsigned char hdr[12];
     if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) || memcmp(hdr + 8, "WAVE", 4)) {
-        fclose(f); return -2;
+        return -2;
     }
     uint16_t fmt = 0, ch = 0, bits = 0;
     uint32_t sr = 0;
@@ -122,23 +149,25 @@ extern "C" long long aa_read_wav(const char* path, float** out,
     unsigned char chdr[8];
     while (fread(chdr, 1, 8, f) == 8) {
         uint32_t size = rd_u32(chdr + 4);
+        if ((long)size > fsize) return -3;            // corrupt size field
         if (!memcmp(chdr, "fmt ", 4)) {
-            if (size < 16) { fclose(f); return -3; }  // malformed fmt chunk
+            if (size < 16) return -3;                 // malformed fmt chunk
             std::vector<unsigned char> p(size);
-            if (fread(p.data(), 1, size, f) != size) { fclose(f); return -3; }
+            if (fread(p.data(), 1, size, f) != size) return -3;
             fmt = rd_u16(&p[0]); ch = rd_u16(&p[2]); sr = rd_u32(&p[4]);
             bits = rd_u16(&p[14]);
             // WAVE_FORMAT_EXTENSIBLE: subformat tag lives at offset 24;
             // only read it when the chunk actually extends that far
             if (fmt == 0xFFFE && size >= 26) fmt = rd_u16(&p[24]);
+            fseek(f, size & 1, SEEK_CUR);             // RIFF pad byte
         } else if (!memcmp(chdr, "data", 4)) {
             data.resize(size);
-            if (fread(data.data(), 1, size, f) != size) { fclose(f); return -3; }
+            if (fread(data.data(), 1, size, f) != size) return -3;
+            fseek(f, size & 1, SEEK_CUR);             // RIFF pad byte
         } else {
             fseek(f, size + (size & 1), SEEK_CUR);
         }
     }
-    fclose(f);
     if (!ch || data.empty()) return -4;
     size_t n = 0;
     float* dst = nullptr;
@@ -174,6 +203,20 @@ extern "C" long long aa_read_wav(const char* path, float** out,
     }
     *out = dst; *channels = ch; *rate = (int)sr;
     return (long long)(n / ch);
+}
+
+extern "C" long long aa_read_wav(const char* path, float** out,
+                                 int* channels, int* rate) {
+    *out = nullptr; *channels = 0; *rate = 0;
+    // exceptions (bad_alloc from a hostile chunk size under memory
+    // pressure) must not cross the extern "C"/ctypes boundary or escape a
+    // decode_batch worker thread (std::terminate would kill the process)
+    try {
+        return aa_read_wav_impl(path, out, channels, rate);
+    } catch (...) {
+        *out = nullptr;
+        return -7;
+    }
 }
 
 extern "C" void aa_free(float* p) { free(p); }

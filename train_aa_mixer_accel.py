@@ -59,16 +59,15 @@ def main():
     train_dl = DataLoader(train_set, batch_size=args.batch_size, shuffle=True,
                           num_workers=min(args.num_workers, 8), seed=seed)
 
-    model_kwargs = None
-    if args.model_config:
-        import json
-        model_kwargs = json.load(open(args.model_config))
-    given_model = DVAEWrapper(args_dict={'sample_size': args.sample_size,
-                                         'latent_dim': args.latent_dim,
-                                         'num_quantizers': args.num_quantizers,
-                                         'pqmf_bands': args.pqmf_bands,
-                                         'ema_decay': args.ema_decay},
-                              model_kwargs=model_kwargs)
+    from audio_algebra_tpu.config import load_model_config
+    model_kwargs, cfg_args = load_model_config(args.model_config)
+    args_dict = {'sample_size': args.sample_size,
+                 'latent_dim': args.latent_dim,
+                 'num_quantizers': args.num_quantizers,
+                 'pqmf_bands': args.pqmf_bands,
+                 'ema_decay': args.ema_decay}
+    args_dict.update(cfg_args)    # the config file describes the checkpoint
+    given_model = DVAEWrapper(args_dict=args_dict, model_kwargs=model_kwargs)
     given_model.ckpt_info['ckpt_path'] = args.dvae_ckpt_file or \
         given_model.ckpt_info['ckpt_path']
     given_model.setup(gdrive=False)
@@ -79,7 +78,9 @@ def main():
     loss_fn = make_mixer_loss_fn(aa.module, given_model_encode_fn(given_model))
 
     max_epochs = getattr(args, 'max_epochs', 40)
-    total_steps = max(len(train_dl), 1) * max_epochs
+    accum = max(int(getattr(args, 'accum_batches', 1) or 1), 1)
+    # schedule counts OPTIMIZER UPDATES (MultiSteps steps once per accum)
+    total_steps = max(max(len(train_dl), 1) * max_epochs // accum, 1)
     sched = optax.cosine_onecycle_schedule(total_steps,
                                            getattr(args, 'max_lr', 1e-3))
     opt = optax.adam(sched)
@@ -138,7 +139,8 @@ def main():
                 np.ascontiguousarray(stems_b), faders, batch)
             if step % 25 == 0:
                 out = {k: float(v) for k, v in logs.items()}
-                out.update(epoch=epoch, learning_rate=float(sched(step)))
+                out.update(epoch=epoch, learning_rate=float(
+                    sched(min(step // accum, total_steps - 1))))
                 logger.log(out, step=step)
                 hprint(f"step {step}: " + " ".join(
                     f"{k}={v:.4g}" for k, v in out.items()))

@@ -89,15 +89,19 @@ def main():
         print(f"effect {name}: {len(knobs)} knob values")
         outs = []
         static_knob = name in ("PitchShift",)   # shape-changing: loop host-side
+        # ONE jitted program per effect, clip as an argument — building the
+        # jit inside the clip loop created a fresh function object per clip
+        # and recompiled the identical knob-sweep program every time
+        sweep_fn = jax.jit(jax.vmap(
+            lambda k, xx: apply_effect(name, xx, k, args.sample_rate),
+            in_axes=(0, None)))
         for clip_idx in range(len(clips)):
             x = jnp.asarray(clips[clip_idx])
             if static_knob:
                 ys = jnp.stack([apply_effect(name, x, float(k), args.sample_rate)
                                 for k in knobs])
             else:
-                fn = jax.jit(jax.vmap(
-                    lambda k, xx=x: apply_effect(name, xx, k, args.sample_rate)))
-                ys = fn(jnp.asarray(knobs, jnp.float32))
+                ys = sweep_fn(jnp.asarray(knobs, jnp.float32), x)
             outs.append(np.asarray(ys, np.float32))
             for ki, k in enumerate(knobs):
                 manifest.append({"effect": name, "knob_name": EFFECTS[name][1],
