@@ -863,6 +863,10 @@ class CLAPDAE(GivenModelClass):
             cfg_scales = cfg_scales[0]
         cfg_scale = float(cfg_scales)
         n_latent = self.demo_samples // self.downsampling_ratio
+        stage_times = os.environ.get("AA_GEN_STAGE_TIMES", "0") == "1"
+        if stage_times:
+            import time as _time
+            _t0 = _time.time()
 
         # Every stage below runs as ONE cached jitted program (the
         # DVAEWrapper.decode pattern): called eagerly, the samplers'
@@ -908,6 +912,10 @@ class CLAPDAE(GivenModelClass):
                 f"ldc_sample{demo_steps}_{latent_noise.shape}_{cfg_scale}",
                 sample_fn)(self.ldm_params, latent_noise, embeddings)
 
+        if stage_times:
+            jax.block_until_ready(fake_latents)
+            self.last_stage_times = {"inner_s": _time.time() - _t0}
+            _t0 = _time.time()
         print(f"Decoding fake_latents of shape {fake_latents.shape} "
               f"to audio length {self.sample_size}")
         # stage-1 latents via cond diffusion, then AE decode — one jitted
@@ -954,6 +962,9 @@ class CLAPDAE(GivenModelClass):
             parts.append(fn(self.diffae_params, s1_noise[sl],
                             fake_latents[sl], self.next_key()))
         fakes = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        if stage_times:
+            jax.block_until_ready(fakes)
+            self.last_stage_times["outer_s"] = _time.time() - _t0
         if flatten:
             b, d, n = fakes.shape
             fakes = jnp.swapaxes(fakes, 0, 1).reshape(d, b * n)

@@ -354,6 +354,24 @@ def _apply_res_amax_q_kernel_tbc(x_ref, res_ref, stats_ref, scale_ref,
 # into two tiny matmuls. MEASURED SLOWER than the 3-D path on the MIRAGE
 # stages (see dispatcher note) — dispatch-disabled by default.
 
+def _pick_tbc_tile(t_len: int, b: int, c: int, itemsize: int) -> int:
+    """Time-tile for a (tile, b, c) block under the scoped-VMEM budget.
+
+    The block's VMEM footprint pads the minor two dims to the hardware
+    tile — sublane (8/16/32 rows for 4/2/1-byte dtypes) × lane (128).
+    At b=1 f32 that's an 8× inflation over the logical element count;
+    sizing the tile on logical elements alone overflows the 16 MiB
+    scoped-vmem limit (measured: 17.96M requested at (65536, 1, 256) f32
+    in the residual apply variant)."""
+    sublane = {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
+    b_pad = -(-b // sublane) * sublane
+    c_pad = -(-c // 128) * 128
+    tile = t_len
+    while tile * b_pad * c_pad > MAX_TILE_ELEMS and tile % 2 == 0:
+        tile //= 2
+    return tile
+
+
 def _flat_tile_ok(t_len: int, b: int, c: int) -> bool:
     """The flat launch halves its row tile while staying batch-aligned;
     shapes where halving stalls (odd row counts) would hand Mosaic one
@@ -731,10 +749,7 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
         "turbo quantise is exclusive with residual"
     b, t_len, c = x.shape
     xt = jnp.swapaxes(x, 0, 1)                  # (T, B, C) — bitcast
-    tile = t_len
-    max_elems = MAX_TILE_ELEMS
-    while tile * b * c > max_elems and tile % 2 == 0:
-        tile //= 2
+    tile = _pick_tbc_tile(t_len, b, c, jnp.dtype(x.dtype).itemsize)
     nt = t_len // tile
     stride = stats_stride if stats_stride > 1 and nt >= 4 * stats_stride else 1
     nst = nt // stride

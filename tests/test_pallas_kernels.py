@@ -412,3 +412,50 @@ class TestTurboInt8:
         yf = conv1d(xf, w)
         rel = float(jnp.sqrt(jnp.mean((y8 - yf) ** 2) / jnp.mean(yf ** 2)))
         assert rel < 0.02, rel
+
+
+class TestTbcTileVmem:
+    """The (tile, b, c) block pads b to the sublane count and c to the
+    lane count in VMEM; the tile choice must budget on PADDED elements or
+    small-batch f32 launches exceed the 16 MiB scoped-vmem limit
+    (measured: 17.96M requested at (65536, 1, 256) f32, B=1 Destructo)."""
+
+    def test_padded_budget_at_b1_f32(self):
+        from audio_algebra_tpu.ops.pallas.groupnorm import (
+            _pick_tbc_tile, MAX_TILE_ELEMS)
+        tile = _pick_tbc_tile(65536, 1, 256, 4)
+        assert tile * 8 * 256 <= MAX_TILE_ELEMS       # padded b=1 -> 8 rows
+
+    def test_padded_budget_at_b1_bf16(self):
+        from audio_algebra_tpu.ops.pallas.groupnorm import (
+            _pick_tbc_tile, MAX_TILE_ELEMS)
+        tile = _pick_tbc_tile(65536, 1, 256, 2)
+        assert tile * 16 * 256 <= MAX_TILE_ELEMS      # bf16 sublane = 16
+
+    def test_full_batch_unchanged(self):
+        # at B=16 bf16 (the headline config) padding is a no-op: the tile
+        # the round-2 numbers were measured with must not shrink
+        from audio_algebra_tpu.ops.pallas.groupnorm import (
+            _pick_tbc_tile, MAX_TILE_ELEMS)
+        tile = _pick_tbc_tile(65536, 16, 256, 2)
+        assert tile * 16 * 256 == MAX_TILE_ELEMS
+
+    def test_b1_f32_apply_runs(self):
+        # end-to-end: the exact shape that OOMed compiles + matches numpy
+        # (interpret mode on CPU; on TPU the budget fix keeps it <16 MiB)
+        import jax
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (1, 4096, 256), jnp.float32)
+        res = jax.random.normal(jax.random.PRNGKey(1), x.shape, jnp.float32)
+        scale = jnp.ones((256,))
+        bias = jnp.zeros((256,))
+        y = groupnorm1_gelu_btc(x, scale, bias, residual=res)
+        x32 = np.asarray(x, np.float64)
+        mu = x32.mean(axis=(1, 2), keepdims=True)
+        sd = x32.std(axis=(1, 2))
+        xn = (x32 - mu) / np.sqrt(sd[:, None, None] ** 2 + 1e-6)
+        from scipy.stats import norm  # exact GELU
+        ref = np.asarray(res, np.float64) + xn * norm.cdf(xn)
+        rel = np.abs(np.asarray(y, np.float64) - ref).max()
+        assert rel < 2e-2, rel

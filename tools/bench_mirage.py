@@ -54,6 +54,10 @@ def main():
     dt = (time.time() - t0) / args.iters
 
     audio_sec = args.batch * w.sample_size / 48000
+    st = getattr(w, "last_stage_times", None)
+    if st:
+        print(f"# stage times (last iter): inner {st['inner_s']:.2f}s, "
+              f"outer+AE {st['outer_s']:.2f}s", file=sys.stderr)
     print(json.dumps({
         "metric": f"mirage_generate_rt_{args.inner_steps}i_"
                   f"{args.outer_steps}o_{args.dtype}",
