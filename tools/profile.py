@@ -97,6 +97,22 @@ def build_target(model: str, batch: int, dtype_str: str):
                     method=LatentAudioDiffusionAutoencoder.diffusion_v),
                 (params, x, t, cond),
                 {"audio_sec": batch * 1048576 / 48000})
+    if model == "outer-fold":
+        # the sequence-folded B=1 serving path (parallel/fold.py)
+        from audio_algebra_tpu.parallel.fold import decode_unet_seqfold
+        la = w.latent_diffae
+        params = cast(w.diffae_params)
+        x = jax.random.normal(key, (batch, 32, 32768), dtype)
+        t = jnp.full((batch,), 0.5, dtype)
+        cond = jax.random.normal(key, (batch, 32, 2048), dtype)
+        ucfg = dict(io_channels=la.latent_dim,
+                    cond_dim=la.second_stage_latent_dim,
+                    n_attn_layers=0, c_mults=tuple(la.diffusion_c_mults),
+                    depth=la.diffusion_depth)
+        return (lambda p, a, b, c: decode_unet_seqfold(
+                    p["params"]["diffusion"], a, b, c, **ucfg),
+                (params, x, t, cond),
+                {"audio_sec": batch * 1048576 / 48000})
     raise SystemExit(f"unknown --model {model}")
 
 
