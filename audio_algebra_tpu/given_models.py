@@ -78,7 +78,10 @@ class GivenModelClass:
         from .models.blocks import turbo_int8
         name = (f"{name}|turbo={turbo_int8()}"
                 f"|ldmgn={os.environ.get('AA_LDM_GN', '0')}"
-                f"{os.environ.get('AA_LDM_GN_PALLAS', '0')}")
+                f"{os.environ.get('AA_LDM_GN_PALLAS', '0')}"
+                f"|fold={os.environ.get('AA_SEQFOLD', '1')}"
+                f"{os.environ.get('AA_SEQFOLD_MAX_B', '2')}"
+                f"|rh={os.environ.get('AA_RELPOS_HOIST', '1')}")
         if name not in self._jit_cache:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
@@ -380,6 +383,18 @@ class DVAEWrapper(GivenModelClass):
                     method=DiffusionDVAE.decode_v_aux)
                 return vddim_sample(model_fn, n, demo_steps, 0, r,
                                     aux_mode=True)
+            from .parallel.fold import decode_unet_seqfold, seqfold_ok
+            if seqfold_ok(n.shape[0]):
+                # small-batch serving: fold time blocks into batch (the
+                # B<=2 conv MXU cliff, docs/performance.md "Serving B=1")
+                m = self.model
+                cfg = dict(io_channels=m.io_channels, cond_dim=m.latent_dim,
+                           n_attn_layers=m.n_attn_layers,
+                           c_mults=tuple(m.diffusion_c_mults),
+                           pqmf_bands=m.pqmf_bands)
+                model_fn = lambda x, t, cond: decode_unet_seqfold(
+                    p["params"]["diffusion"], x, t, cond, **cfg)
+                return vddim_sample(model_fn, n, demo_steps, 0, r)
             model_fn = lambda x, t, cond: self.model.apply(
                 p, x, t, cond, method=DiffusionDVAE.decode_v)
             return vddim_sample(model_fn, n, demo_steps, 0, r)
@@ -874,15 +889,27 @@ class CLAPDAE(GivenModelClass):
         # dispatch over the axon relay — measured 110 ms/step wall for a
         # 26 ms/step program on the inner stage (3-4x the device time).
         # Params ride as arguments so checkpoint pours can't go stale.
+        def ldm_fn(p, t_len):
+            """UNetCFG1d step fn with the rel-pos biases hoisted out of
+            the sampler loop (they depend only on params + static T;
+            rebuilding them cost ~10 ms of the 27 ms B=1 inner forward)."""
+            rb = None
+            if os.environ.get("AA_RELPOS_HOIST", "1") == "1":
+                from .models.unet_cfg1d import precompute_rel_biases
+                rb = precompute_rel_biases(
+                    self.latent_diffusion_model,
+                    p["params"]["diffusion"], t_len)
+            return lambda x, t, embedding: \
+                self.latent_diffusion_model.apply(
+                    p, x, t, embedding=embedding,
+                    embedding_scale=cfg_scale, rel_biases=rb)
+
         if init_audio_latents is not None:
             print("   Calling ldc_resample")
             init_lat = jnp.asarray(init_audio_latents).astype(cdtype)
 
             def resample_fn(p, lat, emb, key):
-                fn = lambda x, t, embedding: \
-                    self.latent_diffusion_model.apply(
-                        p, x, t, embedding=embedding,
-                        embedding_scale=cfg_scale)
+                fn = ldm_fn(p, lat.shape[-1])
                 out = resample_diffusion(
                     fn, lat, steps=demo_steps,
                     noise_level=(1.0 - init_strength), key=key,
@@ -900,10 +927,7 @@ class CLAPDAE(GivenModelClass):
                 dtype=cdtype)
 
             def sample_fn(p, noise, emb):
-                fn = lambda x, t, embedding: \
-                    self.latent_diffusion_model.apply(
-                        p, x, t, embedding=embedding,
-                        embedding_scale=cfg_scale)
+                fn = ldm_fn(p, noise.shape[-1])
                 return jnp.clip(
                     kdiff_sample(fn, noise, demo_steps, embedding=emb),
                     -1, 1)
@@ -933,6 +957,7 @@ class CLAPDAE(GivenModelClass):
         from .models.blocks import turbo_int8
 
         def outer_decode_fn(p, noise, lat, key):
+            from .parallel.fold import decode_unet_seqfold, seqfold_ok
             if turbo_int8():
                 # amax-carry through the outer v-DDIM loop (same contract
                 # as the DVAE decode): grids ride the sampler carry
@@ -941,6 +966,20 @@ class CLAPDAE(GivenModelClass):
                     method=LatentAudioDiffusionAutoencoder.diffusion_v_aux)
                 first = vddim_sample(s1_fn, noise, outer_steps, 0, lat,
                                      key=key, aux_mode=True)
+            elif seqfold_ok(noise.shape[0]):
+                # small-batch serving: fold time blocks into batch — the
+                # B<=2 conv MXU cliff (outer forward 87.6 -> 19.4 ms at
+                # B=1; docs/performance.md "Serving B=1")
+                la = self.latent_diffae
+                ucfg = dict(io_channels=la.latent_dim,
+                            cond_dim=la.second_stage_latent_dim,
+                            n_attn_layers=0,
+                            c_mults=tuple(la.diffusion_c_mults),
+                            depth=la.diffusion_depth)
+                s1_fn = lambda x, t, cond: decode_unet_seqfold(
+                    p["params"]["diffusion"], x, t, cond, **ucfg)
+                first = vddim_sample(s1_fn, noise, outer_steps, 0, lat,
+                                     key=key)
             else:
                 s1_fn = lambda x, t, cond: self.latent_diffae.apply(
                     p, x, t, cond,
@@ -1003,10 +1042,16 @@ class CLAPDAE(GivenModelClass):
             dtype=cdtype)
 
         def sample_fn(p, noise, emb):
+            rb = None
+            if os.environ.get("AA_RELPOS_HOIST", "1") == "1":
+                from .models.unet_cfg1d import precompute_rel_biases
+                rb = precompute_rel_biases(
+                    self.latent_diffusion_model,
+                    p["params"]["diffusion"], noise.shape[-1])
             fn = lambda x, t, embedding: \
                 self.latent_diffusion_model.apply(
                     p, x, t, embedding=embedding,
-                    embedding_scale=cfg_scale)
+                    embedding_scale=cfg_scale, rel_biases=rb)
             return jnp.clip(
                 kdiff_sample(fn, noise, demo_steps, embedding=emb),
                 -1, 1)

@@ -68,6 +68,14 @@ def toeplitz_rel_pos_bias(bias_table: jnp.ndarray, t: int,
     delta = jnp.arange(-(t - 1), t)                       # rel = s - t
     dbuckets = _relative_position_bucket(delta, num_buckets, max_distance)
     diag = bias_table[dbuckets]                           # (2T-1, H)
+    if os.environ.get("AA_RELPOS_MODE", "skew") == "gather":
+        # one gather from the tiny (H, 2T-1) profile with a constant
+        # (T, S) index matrix — a fusible producer, vs the skew's
+        # pad/reshape chain that XLA compiles to 32-way dynamic-slice/
+        # DUS loops over 64 MB buffers (~9 ms of the 27 ms B=1 inner
+        # forward, r2-final trace)
+        idx = jnp.arange(t)[None, :] - jnp.arange(t)[:, None] + (t - 1)
+        return diag.T[:, idx]                             # (H, T, S)
     prof = jnp.broadcast_to(diag.T[:, None, :],
                             (heads, t, 2 * t - 1))
     prof = jnp.pad(prof, ((0, 0), (0, 0), (0, 1)))
@@ -82,7 +90,7 @@ class RelPosSelfAttention(nn.Module):
     max_distance: int = 2048
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, bias=None):
         b, t, c = x.shape
         inner = self.heads * self.head_features
         h = nn.LayerNorm()(x)
@@ -94,8 +102,12 @@ class RelPosSelfAttention(nn.Module):
                          preferred_element_type=jnp.float32)
         bias_table = self.param("rel_pos_bias", nn.initializers.normal(0.02),
                                 (self.num_buckets, self.heads))
-        bias = toeplitz_rel_pos_bias(bias_table, t, self.num_buckets,
-                                     self.max_distance)
+        if bias is None:
+            # serving: precompute_rel_biases hoists this out of the
+            # sampler loop (loop-invariant; the skew chain otherwise
+            # re-runs all 150 steps)
+            bias = toeplitz_rel_pos_bias(bias_table, t, self.num_buckets,
+                                         self.max_distance)
         att = att + bias[None]
         att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
         y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, inner)
@@ -142,9 +154,10 @@ class TransformerBlock(nn.Module):
     max_distance: int
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, rel_bias=None):
         x = RelPosSelfAttention(self.heads, self.head_features,
-                                self.num_buckets, self.max_distance)(x)
+                                self.num_buckets, self.max_distance)(
+                                    x, bias=rel_bias)
         x = CrossAttention(self.heads, self.head_features)(x, context)
         return FeedForward(self.multiplier)(x)
 
@@ -207,9 +220,10 @@ class _UNetCore(nn.Module):
     cfg: "UNetCFG1d"
 
     @nn.compact
-    def __call__(self, x, t, context):
+    def __call__(self, x, t, context, rel_biases=None):
         cfg = self.cfg
         n_levels = len(cfg.multipliers)
+        rel_biases = rel_biases or {}
 
         if cfg.use_context_time:
             emb = sinusoidal_embedding(t, cfg.channels)
@@ -234,7 +248,9 @@ class _UNetCore(nn.Module):
                     cfg.attention_multiplier,
                     cfg.attention_rel_pos_num_buckets,
                     cfg.attention_rel_pos_max_distance,
-                    name=f"{stage}_attn{i}_{j}")(h, context)
+                    name=f"{stage}_attn{i}_{j}")(
+                        h, context,
+                        rel_bias=rel_biases.get(f"{stage}_attn{i}_{j}"))
             return h
 
         skips = []
@@ -298,7 +314,7 @@ class UNetCFG1d(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, embedding=None, embedding_mask_proba: float = 0.0,
-                 embedding_scale: float = 1.0):
+                 embedding_scale: float = 1.0, rel_biases=None):
         """x (B, in_channels, T), t (B,), embedding (B, L, 512) -> v (B, in_channels, T)."""
         fixed = self.param("fixed_embedding", nn.initializers.normal(0.02),
                            (self.context_embedding_max_length,
@@ -327,7 +343,43 @@ class UNetCFG1d(nn.Module):
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
             ctx2 = jnp.concatenate([context, null_ctx], axis=0)
-            v2 = core(x2, t2, ctx2)
+            v2 = core(x2, t2, ctx2, rel_biases)
             v_cond, v_null = jnp.split(v2, 2, axis=0)
             return v_null + embedding_scale * (v_cond - v_null)
-        return core(x, t, context)
+        return core(x, t, context, rel_biases)
+
+
+def precompute_rel_biases(model: "UNetCFG1d", params, t_len: int):
+    """Every RelPosSelfAttention site's (H, T, S) bias, built ONCE from
+    the param tree — keyed by the site's TransformerBlock module name.
+
+    The bias depends only on params and the static T, so inside a sampler
+    it is loop-invariant; XLA will not hoist it itself (the hoisted
+    buffers are ~33 MB/site, above its while-loop code-motion appetite),
+    so the serving path computes this dict outside the lax.scan and
+    passes it via `rel_biases=` — the scan then carries the biases as
+    loop constants and the skew construction (~10 ms of the 27 ms B=1
+    inner forward, r2-final trace) runs once per generate() instead of
+    once per step."""
+    p = params["params"] if "params" in params else params
+    core = p["core"]
+    out = {}
+
+    def site(stage, i, t_i):
+        for j in range(model.attentions[i]):
+            name = f"{stage}_attn{i}_{j}"
+            table = core[name]["RelPosSelfAttention_0"]["rel_pos_bias"]
+            out[name] = toeplitz_rel_pos_bias(
+                table, t_i, model.attention_rel_pos_num_buckets,
+                model.attention_rel_pos_max_distance)
+
+    n_levels = len(model.multipliers)
+    t_i = t_len
+    for i in range(n_levels - 1):
+        site("down", i, t_i)
+        t_i //= model.factors[i]
+    site("mid", n_levels - 1, t_i)
+    for i in reversed(range(n_levels - 1)):
+        t_i *= model.factors[i]
+        site("up", i, t_i)
+    return out

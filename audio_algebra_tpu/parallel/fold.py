@@ -36,7 +36,20 @@ import jax.numpy as jnp
 from .infer import _stack3 as _stack3_full, _down2 as _down2_full, \
     _up2 as _up2_full
 
-__all__ = ["decode_unet_seqfold", "pick_fold_blocks", "pick_folded_levels"]
+__all__ = ["decode_unet_seqfold", "pick_fold_blocks", "pick_folded_levels",
+           "seqfold_ok"]
+
+
+def seqfold_ok(batch: int) -> bool:
+    """Serving gate: fold only where it was measured to win (TPU v5e,
+    MIRAGE outer UNet forward, bf16): B=1 87.6 -> 19.4 ms, B=2 82.6 ->
+    45.5 ms, B=4 88.2 -> 98.7 ms (fold LOSES once the batch itself
+    half-fills the sublanes). AA_SEQFOLD=0 disables; AA_SEQFOLD_MAX_B
+    moves the threshold."""
+    import os
+    if os.environ.get("AA_SEQFOLD", "1") == "0":
+        return False
+    return batch <= int(os.environ.get("AA_SEQFOLD_MAX_B", 2))
 
 
 # ---------------------------------------------------------------- folding --

@@ -134,12 +134,24 @@ def build_loop(model: str, batch: int, dtype_str: str, steps: int):
     w = CLAPDAE(debug=False)
     w._ensure_params()
     if model == "ldm":
+        import os
         emb = jax.random.normal(key, (batch, 1, 512))
         z = jax.random.normal(key, (batch, w.latent_dim, 2048))
-        ldm = lambda a, b, embedding: w.latent_diffusion_model.apply(
-            w.ldm_params, a, b, embedding=embedding, embedding_scale=4.0)
-        return (lambda: kdiff_sample(ldm, z, steps, embedding=emb),
-                {"audio_sec": batch * 1048576 / 48000})
+
+        def loop():
+            rb = None
+            if os.environ.get("AA_RELPOS_HOIST", "1") == "1":
+                from audio_algebra_tpu.models.unet_cfg1d import \
+                    precompute_rel_biases
+                rb = precompute_rel_biases(
+                    w.latent_diffusion_model,
+                    w.ldm_params["params"]["diffusion"], z.shape[-1])
+            ldm = lambda a, b, embedding: w.latent_diffusion_model.apply(
+                w.ldm_params, a, b, embedding=embedding,
+                embedding_scale=4.0, rel_biases=rb)
+            return kdiff_sample(ldm, z, steps, embedding=emb)
+
+        return (loop, {"audio_sec": batch * 1048576 / 48000})
     if model == "outer":
         from audio_algebra_tpu.models.stacked import \
             LatentAudioDiffusionAutoencoder
