@@ -77,11 +77,13 @@ class GivenModelClass:
         # programs
         from .models.blocks import turbo_int8
         name = (f"{name}|turbo={turbo_int8()}"
+                f"{os.environ.get('AA_TURBO_MIN_B', '16')}"
                 f"|ldmgn={os.environ.get('AA_LDM_GN', '0')}"
                 f"{os.environ.get('AA_LDM_GN_PALLAS', '0')}"
                 f"|fold={os.environ.get('AA_SEQFOLD', '1')}"
                 f"{os.environ.get('AA_SEQFOLD_MAX_B', '2')}"
-                f"|rh={os.environ.get('AA_RELPOS_HOIST', '1')}")
+                f"|rh={os.environ.get('AA_RELPOS_HOIST', '1')}"
+                f"|if={os.environ.get('AA_INNER_FOLD', '1')}")
         if name not in self._jit_cache:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
@@ -899,10 +901,15 @@ class CLAPDAE(GivenModelClass):
                 rb = precompute_rel_biases(
                     self.latent_diffusion_model,
                     p["params"]["diffusion"], t_len)
+            # sequence fold on the conv-only levels (pick_cfg_fold inside
+            # the model no-ops once the CFG-doubled batch fills a 16-row
+            # sublane tile, so this is only live at small serving batches)
+            fb = 1 if os.environ.get("AA_INNER_FOLD", "1") == "1" else 0
             return lambda x, t, embedding: \
                 self.latent_diffusion_model.apply(
                     p, x, t, embedding=embedding,
-                    embedding_scale=cfg_scale, rel_biases=rb)
+                    embedding_scale=cfg_scale, rel_biases=rb,
+                    fold_blocks=fb)
 
         if init_audio_latents is not None:
             print("   Calling ldc_resample")
@@ -958,7 +965,8 @@ class CLAPDAE(GivenModelClass):
 
         def outer_decode_fn(p, noise, lat, key):
             from .parallel.fold import decode_unet_seqfold, seqfold_ok
-            if turbo_int8():
+            from .models.blocks import turbo_batch_ok
+            if turbo_int8() and turbo_batch_ok(noise.shape[0]):
                 # amax-carry through the outer v-DDIM loop (same contract
                 # as the DVAE decode): grids ride the sampler carry
                 s1_fn = lambda x, t, aux, cond: self.latent_diffae.apply(
@@ -966,18 +974,26 @@ class CLAPDAE(GivenModelClass):
                     method=LatentAudioDiffusionAutoencoder.diffusion_v_aux)
                 first = vddim_sample(s1_fn, noise, outer_steps, 0, lat,
                                      key=key, aux_mode=True)
-            elif seqfold_ok(noise.shape[0]):
+            elif seqfold_ok(noise.shape[0]) or turbo_int8():
                 # small-batch serving: fold time blocks into batch — the
                 # B<=2 conv MXU cliff (outer forward 87.6 -> 19.4 ms at
-                # B=1; docs/performance.md "Serving B=1")
+                # B=1; docs/performance.md "Serving B=1"). With turbo on
+                # below the unfolded-turbo threshold (B<16) the fold is
+                # ALSO the int8 on-ramp: it refills the 32-row int8 tiles
+                # bf16-fold alone wouldn't (B=4 folds 8x to 32 rows).
                 la = self.latent_diffae
                 ucfg = dict(io_channels=la.latent_dim,
                             cond_dim=la.second_stage_latent_dim,
                             n_attn_layers=0,
                             c_mults=tuple(la.diffusion_c_mults),
                             depth=la.diffusion_depth)
+                # turbo rides INSIDE the fold at small batch: the folded
+                # view has B*n_blocks rows, so the int8 convs see full
+                # 32-row tiles even at B=1 (exact dynamic amax per call —
+                # no aux carry needed)
                 s1_fn = lambda x, t, cond: decode_unet_seqfold(
-                    p["params"]["diffusion"], x, t, cond, **ucfg)
+                    p["params"]["diffusion"], x, t, cond,
+                    quantized=turbo_int8(), **ucfg)
                 first = vddim_sample(s1_fn, noise, outer_steps, 0, lat,
                                      key=key)
             else:

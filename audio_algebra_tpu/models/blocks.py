@@ -145,20 +145,22 @@ def quantize_act(x: jnp.ndarray, amax: jnp.ndarray):
 
 
 def conv1d_int8(x8: jnp.ndarray, x_scale: jnp.ndarray, kernel: jnp.ndarray,
-                bias: Optional[jnp.ndarray], out_dtype) -> jnp.ndarray:
-    """SAME conv of an int8 activation tensor against a bf16/f32 kernel.
+                bias: Optional[jnp.ndarray], out_dtype,
+                padding: str = "SAME") -> jnp.ndarray:
+    """Conv of an int8 activation tensor against a bf16/f32 kernel.
 
     x8 (B, T, Cin) int8 with per-channel scales x_scale (Cin,): the
     per-channel activation scale folds into the weights BEFORE weight
     quantisation, so dequantisation is a single per-output-channel
     multiply on the int32 accumulator. Zero point is 0 (symmetric), so
-    SAME zero-padding is exact."""
+    SAME zero-padding is exact (VALID is used by callers that pad by
+    halo exchange, parallel/fold.py)."""
     w = kernel.astype(jnp.float32) * x_scale.astype(jnp.float32)[None, :, None]
     amax = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1)), 1e-12)   # (Cout,)
     s_w = amax / 127.0
     w8 = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
-        x8, w8, window_strides=(1,), padding="SAME",
+        x8, w8, window_strides=(1,), padding=padding,
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * s_w

@@ -140,11 +140,12 @@ class StackedAELatentDiffusionCond(nn.Module):
             use_skip_scale=True, use_context_time=True)
 
     def __call__(self, x, t, embedding=None, embedding_mask_proba: float = 0.0,
-                 embedding_scale: float = 1.0, rel_biases=None):
+                 embedding_scale: float = 1.0, rel_biases=None,
+                 fold_blocks: int = 0):
         return self.diffusion(x, t, embedding=embedding,
                               embedding_mask_proba=embedding_mask_proba,
                               embedding_scale=embedding_scale,
-                              rel_biases=rel_biases)
+                              rel_biases=rel_biases, fold_blocks=fold_blocks)
 
 
 def v_objective_loss(model_apply, params, latents, embeddings, t, noise,

@@ -39,6 +39,56 @@ def sinusoidal_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) 
     return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
 
 
+# ---- sequence folding (small-batch serving) --------------------------------
+# Same trick as parallel/fold.py for the decode UNet: at B=1 the CFG-doubled
+# inner forward runs its convs with 2 sublane rows of a 16-row tile — fold
+# time blocks into batch to refill them. Only the conv-only levels fold
+# (attention mixes time globally); resample convs at level boundaries run
+# unfolded (unfold/refold are free row-major reshapes). SAME padding becomes
+# a halo exchange between neighbouring blocks with zero edge fill —
+# bit-identical windows to SAME over the unfolded sequence.
+
+def _fold_halo(x4: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """(B, n, T_local, C): append `halo` edge samples from each neighbour
+    block along T_local; outermost blocks zero-fill (== SAME padding)."""
+    if halo == 0:
+        return x4
+    left = jnp.pad(x4[:, :-1, x4.shape[2] - halo:, :],
+                   ((0, 0), (1, 0), (0, 0), (0, 0)))
+    right = jnp.pad(x4[:, 1:, :halo, :], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    return jnp.concatenate([left, x4, right], axis=2)
+
+
+def _fold_conv(conv_mod, x4: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Apply a VALID stride-1 Conv1d module to the halo'd folded view."""
+    b, n, tl, _ = x4.shape
+    xh = _fold_halo(x4, (kernel_size - 1) // 2)
+    y = conv_mod(xh.reshape(b * n, xh.shape[2], xh.shape[3]))
+    return y.reshape(b, n, tl, y.shape[-1])
+
+
+def pick_cfg_fold(batch: int, t_len: int, attentions: Sequence[int],
+                  factors: Sequence[int], min_local: int = 16,
+                  target_rows: int = 16):
+    """(n_blocks, folded_levels) for the UNetCFG1d fold: fold until the
+    first attention level, keeping every folded level's local slice even
+    and >= min_local through its resample factor."""
+    n = 1
+    while batch * n < target_rows:
+        n *= 2
+    if n == 1:
+        return 1, 0
+    k, tl = 0, t_len // n
+    if t_len % n:
+        return 1, 0
+    while (k < len(attentions) and attentions[k] == 0
+           and k < len(factors) and tl % factors[k] == 0
+           and tl // factors[k] >= min_local):
+        tl //= factors[k]
+        k += 1
+    return (n, k) if k > 0 else (1, 0)
+
+
 def _relative_position_bucket(rel_pos, num_buckets: int, max_distance: int):
     """T5 bidirectional relative-position bucketing."""
     num_buckets //= 2
@@ -176,15 +226,28 @@ class GroupNormFoldable(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        from ..ops.pallas.groupnorm_grouped import (grouped_gn_film_silu,
-                                                    supported)
-        if os.environ.get("AA_LDM_GN", "0") == "1" \
-                and supported(x.shape, self.groups):
-            return grouped_gn_film_silu(
-                x, scale, bias, self.groups,
-                film_scale=film_scale, film_shift=film_shift, silu=silu)
-        h = nn.GroupNorm(num_groups=self.groups, use_scale=False,
-                         use_bias=False)(x)
+        if x.ndim == 4:
+            # folded (B, n, T_local, C) view: statistics over the FULL
+            # (n, T_local, C/g) extent per (batch, group) — identical to
+            # the unfolded (T, C/g) reduction
+            b, n, tl, _ = x.shape
+            xg = x.astype(jnp.float32).reshape(b, n, tl, self.groups,
+                                               c // self.groups)
+            mu = xg.mean(axis=(1, 2, 4), keepdims=True)
+            var = jnp.square(xg).mean(axis=(1, 2, 4), keepdims=True) \
+                - jnp.square(mu)
+            h = ((xg - mu) * jax.lax.rsqrt(var + 1e-6)) \
+                .reshape(b, n, tl, c).astype(x.dtype)
+        else:
+            from ..ops.pallas.groupnorm_grouped import (grouped_gn_film_silu,
+                                                        supported)
+            if os.environ.get("AA_LDM_GN", "0") == "1" \
+                    and supported(x.shape, self.groups):
+                return grouped_gn_film_silu(
+                    x, scale, bias, self.groups,
+                    film_scale=film_scale, film_shift=film_shift, silu=silu)
+            h = nn.GroupNorm(num_groups=self.groups, use_scale=False,
+                             use_bias=False)(x)
         # keep the activation dtype: f32 scale/bias params would otherwise
         # promote bf16 activations to f32 for every downstream conv
         h = h * scale.astype(h.dtype) + bias.astype(h.dtype)
@@ -201,14 +264,24 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_emb):
+        """x (B, T, C) — or the folded (B, n, T_local, C) serving view,
+        where the convs halo-exchange between blocks and the norms reduce
+        over the full (n, T_local, C/g) extent (same numbers, fuller
+        sublane tiles at small batch)."""
+        folded = x.ndim == 4
+        conv1 = Conv1d(self.features, kernel_size=3,
+                       padding="VALID" if folded else "SAME")
+        conv2 = Conv1d(self.features, kernel_size=3,
+                       padding="VALID" if folded else "SAME")
         h = GroupNormFoldable(self.groups, name="GroupNorm_0")(x)
-        h = Conv1d(self.features, kernel_size=3)(h)
+        h = _fold_conv(conv1, h, 3) if folded else conv1(h)
         # per-block time scale/shift
         ts = nn.Dense(2 * self.features)(nn.silu(time_emb))
-        scale, shift = jnp.split(ts[:, None, :], 2, axis=-1)
+        ts = ts[:, None, None, :] if folded else ts[:, None, :]
+        scale, shift = jnp.split(ts, 2, axis=-1)
         h = GroupNormFoldable(self.groups, name="GroupNorm_1")(
             h, film_scale=scale, film_shift=shift)
-        h = Conv1d(self.features, kernel_size=3)(h)
+        h = _fold_conv(conv2, h, 3) if folded else conv2(h)
         skip = x if x.shape[-1] == self.features else nn.Dense(self.features,
                                                                use_bias=False)(x)
         return skip + h
@@ -220,10 +293,11 @@ class _UNetCore(nn.Module):
     cfg: "UNetCFG1d"
 
     @nn.compact
-    def __call__(self, x, t, context, rel_biases=None):
+    def __call__(self, x, t, context, rel_biases=None, fold=(1, 0)):
         cfg = self.cfg
         n_levels = len(cfg.multipliers)
         rel_biases = rel_biases or {}
+        n_fold, k_fold = fold            # blocks, folded level count
 
         if cfg.use_context_time:
             emb = sinusoidal_embedding(t, cfg.channels)
@@ -234,8 +308,18 @@ class _UNetCore(nn.Module):
             time_emb = jnp.zeros((x.shape[0], 4 * cfg.channels), x.dtype)
 
         h = jnp.swapaxes(x, -1, -2)                         # (B, T, C)
-        h = Conv1d(cfg.channels * cfg.multipliers[0], kernel_size=7,
-                   name="init_conv")(h)
+        b, t_len, _ = h.shape
+
+        def refold(h3):                  # (B, T, C) -> (B, n, T/n, C), free
+            return h3.reshape(b, n_fold, h3.shape[1] // n_fold, h3.shape[2])
+
+        def unfold(h4):                  # inverse, also free
+            return h4.reshape(b, h4.shape[1] * h4.shape[2], h4.shape[3])
+
+        init_conv = Conv1d(cfg.channels * cfg.multipliers[0], kernel_size=7,
+                           padding="VALID" if k_fold else "SAME",
+                           name="init_conv")
+        h = _fold_conv(init_conv, refold(h), 7) if k_fold else init_conv(h)
 
         def level(h, i, stage):
             feats = cfg.channels * cfg.multipliers[i]
@@ -255,22 +339,36 @@ class _UNetCore(nn.Module):
 
         skips = []
         for i in range(n_levels - 1):
-            h = level(h, i, "down")
+            h = level(h, i, "down")      # 4D for i < k_fold
             skips.append(h)
             f = cfg.factors[i]
+            # resample convs run UNFOLDED (negligible FLOP share; unfold/
+            # refold are free reshapes), except the stride-1 k=3 case
+            # which folds like any other conv
             if f > 1:
+                if i < k_fold:
+                    h = unfold(h)
                 h = Conv1d(cfg.channels * cfg.multipliers[i + 1],
                            kernel_size=f * cfg.kernel_multiplier_downsample,
                            stride=f, name=f"down_conv{i}")(h)
+                if i + 1 < k_fold:
+                    h = refold(h)
             else:
-                h = Conv1d(cfg.channels * cfg.multipliers[i + 1],
-                           kernel_size=3, name=f"down_conv{i}")(h)
+                dc = Conv1d(cfg.channels * cfg.multipliers[i + 1],
+                            kernel_size=3,
+                            padding="VALID" if i < k_fold else "SAME",
+                            name=f"down_conv{i}")
+                h = _fold_conv(dc, h, 3) if i < k_fold else dc(h)
+                if i < k_fold and i + 1 >= k_fold:
+                    h = unfold(h)
 
         h = level(h, n_levels - 1, "mid")
 
         for i in reversed(range(n_levels - 1)):
             f = cfg.factors[i]
             if f > 1:
+                if i + 1 < k_fold:       # deeper level still folded
+                    h = unfold(h)
                 # transpose_kernel=True == torch conv_transpose1d semantics
                 # (soundstream.py has the same note): real checkpoints pour
                 # without kernel-flipped resampling artifacts
@@ -279,17 +377,28 @@ class _UNetCore(nn.Module):
                                      strides=(f,), padding="SAME",
                                      transpose_kernel=True,
                                      name=f"up_conv{i}")(h)
+                if i < k_fold:
+                    h = refold(h)
             else:
-                h = Conv1d(cfg.channels * cfg.multipliers[i],
-                           kernel_size=3, name=f"up_conv{i}")(h)
+                if i < k_fold and i + 1 >= k_fold:
+                    h = refold(h)        # boundary sits at a factor-1 level
+                uc = Conv1d(cfg.channels * cfg.multipliers[i],
+                            kernel_size=3,
+                            padding="VALID" if i < k_fold else "SAME",
+                            name=f"up_conv{i}")
+                h = _fold_conv(uc, h, 3) if i < k_fold else uc(h)
             skip = skips.pop()
             if cfg.use_skip_scale:
                 skip = skip * (2.0 ** -0.5)
             h = jnp.concatenate([h, skip], axis=-1)
             h = level(h, i, "up")
 
-        h = GroupNormFoldable(cfg.resnet_groups, name="out_norm")(h)
-        h = Conv1d(cfg.in_channels, kernel_size=7, name="out_conv")(h)
+        out_norm = GroupNormFoldable(cfg.resnet_groups, name="out_norm")
+        out_conv = Conv1d(cfg.in_channels, kernel_size=7,
+                          padding="VALID" if k_fold else "SAME",
+                          name="out_conv")
+        h = out_norm(h)
+        h = unfold(_fold_conv(out_conv, h, 7)) if k_fold else out_conv(h)
         return jnp.swapaxes(h, -1, -2)
 
 
@@ -314,8 +423,13 @@ class UNetCFG1d(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, embedding=None, embedding_mask_proba: float = 0.0,
-                 embedding_scale: float = 1.0, rel_biases=None):
-        """x (B, in_channels, T), t (B,), embedding (B, L, 512) -> v (B, in_channels, T)."""
+                 embedding_scale: float = 1.0, rel_biases=None,
+                 fold_blocks: int = 0):
+        """x (B, in_channels, T), t (B,), embedding (B, L, 512) -> v (B, in_channels, T).
+
+        fold_blocks > 0 enables the sequence fold on the conv-only levels
+        (small-batch serving; pick_cfg_fold chooses the block count from
+        the EFFECTIVE batch — doubled under CFG). 0 = off."""
         fixed = self.param("fixed_embedding", nn.initializers.normal(0.02),
                            (self.context_embedding_max_length,
                             self.context_embedding_features))
@@ -338,15 +452,22 @@ class UNetCFG1d(nn.Module):
                 context = jnp.where(keep, context, null_ctx)
 
         core = _UNetCore(self, name="core")
+
+        def pick(eff_batch):
+            if fold_blocks <= 0:
+                return (1, 0)
+            return pick_cfg_fold(eff_batch, x.shape[-1], self.attentions,
+                                 self.factors)
+
         if embedding is not None and embedding_scale != 1.0:
             # CFG as ONE doubled batch: [cond | null] -> combine
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
             ctx2 = jnp.concatenate([context, null_ctx], axis=0)
-            v2 = core(x2, t2, ctx2, rel_biases)
+            v2 = core(x2, t2, ctx2, rel_biases, fold=pick(2 * b))
             v_cond, v_null = jnp.split(v2, 2, axis=0)
             return v_null + embedding_scale * (v_cond - v_null)
-        return core(x, t, context, rel_biases)
+        return core(x, t, context, rel_biases, fold=pick(b))
 
 
 def precompute_rel_biases(model: "UNetCFG1d", params, t_len: int):

@@ -86,7 +86,20 @@ def _as_blocks(x3, n):
 # ----------------------------------------------------------------- blocks --
 # Mirrors of parallel/infer.py's primitives over (B, n, T_local, C).
 
-def _conv5(x4, p):
+def _conv5(x4, p, q=False):
+    """5-tap SAME conv over the folded view. q=True takes the int8 MXU
+    (turbo): per-channel symmetric quantisation with an EXACT dynamic
+    amax (one fused reduce — at small batch the MXU is the bottleneck,
+    not bandwidth, so the extra pass is free); the halo exchange runs on
+    the int8 tensor (zero edge fill is exact under symmetric quant)."""
+    if q:
+        from ..models.blocks import quantize_act, conv1d_int8
+        amax = jnp.max(jnp.abs(x4.astype(jnp.float32)), axis=(0, 1, 2))
+        x8, s = quantize_act(x4, amax)
+        xh = _as_batch(_halo(x8, 2, 2))
+        y = conv1d_int8(xh, s, p["kernel"], p["bias"], x4.dtype,
+                        padding="VALID")
+        return _as_blocks(y, x4.shape[1])
     k = p["kernel"].astype(x4.dtype)
     xh = _as_batch(_halo(x4, 2, 2))
     y = jax.lax.conv_general_dilated(
@@ -110,25 +123,25 @@ def _gn1(x4, p, gelu=True, residual=None, eps=1e-6):
     return y if residual is None else residual + y
 
 
-def _resconv(x4, p, is_last=False):
+def _resconv(x4, p, is_last=False, q=False):
     if "skip_proj" in p:
         skip = x4 @ p["skip_proj"]["kernel"].astype(x4.dtype)
     else:
         skip = x4
-    h = _conv5(x4, p["Conv1d_0"])
+    h = _conv5(x4, p["Conv1d_0"], q=q)
     h = _gn1(h, p["GroupNorm_0"])
-    h = _conv5(h, p["Conv1d_1"])
+    h = _conv5(h, p["Conv1d_1"], q=q)
     if is_last:
         return skip + h
     return _gn1(h, p["GroupNorm_1"], residual=skip)
 
 
-def _stack3(x4, p, is_last=False):
+def _stack3(x4, p, is_last=False, q=False):
     # folded levels are conv-only: attention levels (global time mixing)
     # always run unfolded — pick_folded_levels enforces the boundary
-    x4 = _resconv(x4, p["m0"])
-    x4 = _resconv(x4, p["m2"])
-    return _resconv(x4, p["m4"], is_last=is_last)
+    x4 = _resconv(x4, p["m0"], q=q)
+    x4 = _resconv(x4, p["m2"], q=q)
+    return _resconv(x4, p["m4"], is_last=is_last, q=q)
 
 
 def _resample_kernel(x4, taps, norm):
@@ -194,7 +207,8 @@ def decode_unet_seqfold(params, x, t, cond=None, *,
                         c_mults: Sequence[int] = (256, 256) + (512,) * 12,
                         depth: Optional[int] = None, pqmf_bands: int = 1,
                         timestep_features: int = 16,
-                        folded_levels: Optional[int] = None):
+                        folded_levels: Optional[int] = None,
+                        quantized: bool = False):
     """DiffusionAttnUnet1D forward with time folded into batch.
 
     params/x/t/cond exactly as models/unet1d.py:120 (x (B, C_io, T),
@@ -209,7 +223,9 @@ def decode_unet_seqfold(params, x, t, cond=None, *,
     attn_start = depth - n_attn_layers
     b, _, t_len = x.shape
     if n_blocks is None:
-        n_blocks = pick_fold_blocks(b)
+        # int8 native tiles are 32 sublane rows (bf16: 16) — fold deeper
+        # in turbo so the int8 convs run on full tiles
+        n_blocks = pick_fold_blocks(b, 32 if quantized else 16)
     if folded_levels is None:
         n_folded = pick_folded_levels(t_len, n_blocks, depth, attn_start)
     else:
@@ -241,7 +257,7 @@ def decode_unet_seqfold(params, x, t, cond=None, *,
     # ---- folded down sweep (levels 0..n_folded-1)
     skips_folded = []
     for j in range(n_folded):
-        h = _stack3(h, p[f"stack_{j:03d}"])
+        h = _stack3(h, p[f"stack_{j:03d}"], q=quantized)
         skips_folded.append(h)
         h = _down2(h)
 
@@ -270,7 +286,8 @@ def decode_unet_seqfold(params, x, t, cond=None, *,
     for j in reversed(range(n_folded)):
         h = _up2(h)
         h = jnp.concatenate([h, skips_folded.pop()], axis=-1)
-        h = _stack3(h, p[f"stack_{2 * depth - 1 - j:03d}"], is_last=j == 0)
+        h = _stack3(h, p[f"stack_{2 * depth - 1 - j:03d}"], is_last=j == 0,
+                    q=quantized)
 
     out = h.reshape(b, t_len, h.shape[-1])
     return jnp.swapaxes(out, -1, -2)

@@ -68,6 +68,61 @@ def test_fold_b1_and_zero_levels():
     assert _rel(got0, want) < 1e-6, _rel(got0, want)
 
 
+@pytest.mark.slow
+def test_cfg_unet_fold_matches_unfolded():
+    """UNetCFG1d sequence fold (models/unet_cfg1d.py pick_cfg_fold): the
+    conv-only levels run folded (halo convs + full-extent grouped GN);
+    attention levels unfolded — output must match the plain forward.
+    This is the MIRAGE inner-stage small-batch serving path."""
+    from audio_algebra_tpu.models.unet_cfg1d import UNetCFG1d, pick_cfg_fold
+
+    cfg = dict(in_channels=4, channels=16, multipliers=(2, 3, 4),
+               factors=(1, 2), num_blocks=(2, 2), attentions=(0, 0, 1),
+               attention_heads=2, attention_features=8,
+               context_embedding_features=32)
+    m = UNetCFG1d(**cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 256), jnp.float32)
+    t = jnp.array([0.4], jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 32), jnp.float32)
+    params = m.init({"params": jax.random.PRNGKey(0)}, x, t, embedding=emb)
+
+    # CFG path (doubled batch) and unconditioned path
+    assert pick_cfg_fold(2, 256, cfg["attentions"], cfg["factors"]) == (8, 2)
+    want = m.apply(params, x, t, embedding=emb, embedding_scale=3.0)
+    got = m.apply(params, x, t, embedding=emb, embedding_scale=3.0,
+                  fold_blocks=1)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5, _rel(got, want)
+
+    w2 = m.apply(params, x, t)
+    g2 = m.apply(params, x, t, fold_blocks=1)
+    assert _rel(g2, w2) < 1e-5, _rel(g2, w2)
+
+    # batch already fills the tile -> fold must no-op
+    assert pick_cfg_fold(16, 256, cfg["attentions"], cfg["factors"]) == (1, 0)
+
+
+@pytest.mark.slow
+def test_fold_quantized_close():
+    """Turbo int8 inside the fold (exact dynamic amax per conv): the
+    quantised forward must stay within the per-conv int8 noise envelope
+    of the bf16-fold output — same fidelity class as the turbo decode
+    path (BASELINE.md: 1.4% rel RMS end-to-end)."""
+    cfg = dict(io_channels=4, cond_dim=8, n_attn_layers=0, c_mults=(8, 16))
+    model = DiffusionAttnUnet1D(**cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 1024), jnp.float32)
+    t = jnp.array([0.5], jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, cond)
+    want = decode_unet_seqfold(params, x, t, cond, **cfg)
+
+    got = decode_unet_seqfold(params, x, t, cond, quantized=True, **cfg)
+    assert got.shape == want.shape
+    r = _rel(got, want)
+    assert r < 0.05, r            # quantisation noise, not a wrong program
+    assert r > 0.0                # and the int8 path actually ran
+
+
 def test_pickers():
     assert pick_fold_blocks(1) == 16
     assert pick_fold_blocks(4) == 4

@@ -7,6 +7,8 @@ Random weights (the multi-GB pretrained checkpoints aren't fetchable
 here) — identical FLOPs/traffic to the real model. Prints realtime
 factors per stage and end-to-end; results recorded in BASELINE.md.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import argparse
 import json
 import sys
@@ -58,9 +60,13 @@ def main():
     if st:
         print(f"# stage times (last iter): inner {st['inner_s']:.2f}s, "
               f"outer+AE {st['outer_s']:.2f}s", file=sys.stderr)
+    import os
+    eff_dtype = args.dtype
+    if os.environ.get("AA_TURBO_INT8") == "1":
+        eff_dtype += "_turboint8"      # never mislabel the int8 dial as bf16
     print(json.dumps({
         "metric": f"mirage_generate_rt_{args.inner_steps}i_"
-                  f"{args.outer_steps}o_{args.dtype}",
+                  f"{args.outer_steps}o_{eff_dtype}",
         "value": round(audio_sec / dt, 2), "unit": "x_realtime_per_chip",
         "note": f"{dt:.1f}s per {audio_sec:.1f}s of audio; "
                 f"compile {compile_s:.0f}s"}))

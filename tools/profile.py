@@ -23,6 +23,8 @@ Subcommands:
 Env knobs still apply (AA_TURBO_INT8, AA_GN_*), so A/B runs are two
 invocations with different envs.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import argparse
 import collections
 import glob

@@ -7,6 +7,8 @@ roofline, and ~39 ms/forward spread over ~500 small deep-level kernels —
 launch/pipeline overhead, not bandwidth. This sweeps the tile cap and the
 one-launch two-phase variant to pick the production settings.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import argparse
 import time
 
