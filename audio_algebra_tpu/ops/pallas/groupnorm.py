@@ -786,6 +786,23 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
         var = jnp.maximum(jnp.mean(jnp.square(x32), axis=(1, 2))
                           - jnp.square(mu), 0.0)
         rstd = jax.lax.rsqrt(var + eps)
+        # AA_GN_XLA_APPLY=1 (experiment, default off): run the normalise
+        # apply in XLA too. With the stats already fused into the producer
+        # conv, the apply is a pure elementwise chain — if XLA input-fuses
+        # it into the CONSUMING conv, the apply's HBM write + conv re-read
+        # disappear (up to ~66 ms of the 242 ms forward at B=16). The
+        # round-1 layout fear was about the REDUCE, not a broadcast chain.
+        # Exact same numerics as the Pallas apply (f32 math, tanh-GELU).
+        if _os.environ.get("AA_GN_XLA_APPLY", "0") == "1" \
+                and quant_scale is None and not emit_amax:
+            y = (x32 - mu[:, None, None]) * rstd[:, None, None]
+            y = y * scale.astype(jnp.float32)[None, None, :] \
+                + bias.astype(jnp.float32)[None, None, :]
+            if gelu:
+                y = _gelu(y)
+            if residual is not None:
+                y = residual.astype(jnp.float32) + y
+            return y.astype(x.dtype)
         # Small-batch fast path: below AA_GN_FLAT_MAX_B the (T, B, C)-view
         # apply fills only B/16 of each bf16 tile's sublanes (6.25% at
         # MIRAGE's B=1) — normalise the flat (T*B, C) row view instead

@@ -59,6 +59,30 @@ class TestGroupNormFused:
         y = groupnorm1_gelu_btc(x, scale, bias, gelu=gelu)
         assert float(jnp.abs(y - ref).max()) < 1e-5
 
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_xla_apply_matches_pallas(self, residual, monkeypatch):
+        """AA_GN_XLA_APPLY=1 (all-XLA apply experiment) must be numerically
+        identical to the Pallas apply path it substitutes."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+
+        x = jax.random.normal(jax.random.PRNGKey(7), (3, 512, 128),
+                              jnp.float32) * 1.3 + 0.1
+        res = (jax.random.normal(jax.random.PRNGKey(8), x.shape, jnp.float32)
+               if residual else None)
+        scale = jnp.linspace(0.6, 1.4, 128)
+        bias = jnp.linspace(-0.3, 0.3, 128)
+        ref = self._ref(x, scale, bias, True)
+        if res is not None:
+            ref = res + ref
+        monkeypatch.setenv("AA_GN_XLA_APPLY", "1")
+        y_xla = groupnorm1_gelu_btc(x, scale, bias, gelu=True, residual=res)
+        monkeypatch.setenv("AA_GN_XLA_APPLY", "0")
+        y_pl = groupnorm1_gelu_btc(x, scale, bias, gelu=True, residual=res)
+        assert float(jnp.abs(y_xla - ref).max()) < 1e-5
+        assert float(jnp.abs(y_xla - y_pl).max()) < 1e-6
+
     @pytest.mark.parametrize("b", [1, 3, 4])
     @pytest.mark.parametrize("residual", [False, True])
     def test_flat_apply_small_batch_matches(self, b, residual, monkeypatch):
