@@ -129,6 +129,10 @@ def test_two_process_distributed(tmp_path):
     env = {k: v for k, v in __import__("os").environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["JAX_PLATFORMS"] = "cpu"
+    # the worker script lives in tmp_path, so sys.path[0] is NOT the repo;
+    # the package import needs an explicit PYTHONPATH (VERDICT r2 item 1)
+    env["PYTHONPATH"] = "/root/repo" + (
+        (":" + env["PYTHONPATH"]) if env.get("PYTHONPATH") else "")
     procs = [subprocess.Popen(
         [_sys.executable, str(script), str(i), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,

@@ -11,9 +11,10 @@ docstrings and signatures (module -> classes/functions), with a sidebar.
 
 CI deploys `site/` to GH-pages (.github/workflows/docs.yaml).
 """
+from __future__ import annotations
+
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
-from __future__ import annotations
 
 import argparse
 import html
