@@ -722,6 +722,97 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
                         stats_stride: int = 1,
                         emit_amax: bool = False,
                         q_emit_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Public entry. The standard (non-turbo) variants are DIFFERENTIABLE:
+    they route through a jax.custom_vjp whose forward is the Pallas kernel
+    and whose backward is the standard GN[+GELU] gradient in plain XLA
+    (recompute-based, f32 — see _gn_bwd). Without this, jax.grad through
+    the kernel dies with `NotImplementedError: JVP with aliasing not
+    supported` (the input_output_aliases={0:0} buffer donation), which any
+    DVAE/stacked fine-tune at MXU-aligned widths hits. The turbo int8
+    paths (quant_scale / emit_amax / q_emit_scale) are inference-only and
+    stay outside AD on purpose (int8 outputs have no useful gradient).
+    See groupnorm1_gelu_btc's full parameter docs on _gn_impl."""
+    if quant_scale is None and not emit_amax and q_emit_scale is None:
+        if residual is None:
+            return _gn_ad(x, scale, bias, gelu, eps, stats_stride)
+        return _gn_res_ad(x, scale, bias, residual, gelu, eps, stats_stride)
+    return _gn_impl(x, scale, bias, gelu=gelu, eps=eps, residual=residual,
+                    quant_scale=quant_scale, stats_stride=stats_stride,
+                    emit_amax=emit_amax, q_emit_scale=q_emit_scale)
+
+
+def _gn_ref_fwd(x, scale, bias, gelu: bool, eps: float):
+    """Pure-jnp GN(1)[+GELU] matching the Pallas numerics exactly: f32
+    statistics over (T, C) per batch, var >= 0 clamp, tanh-GELU (_gelu).
+    The backward pass is jax.vjp of this — XLA fuses the whole chain."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.maximum(jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+                      - jnp.square(mu), 0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32)[None, None, :] \
+        + bias.astype(jnp.float32)[None, None, :]
+    if gelu:
+        y = _gelu(y)
+    return y
+
+
+def _gn_bwd_core(x, scale, bias, dout, gelu: bool, eps: float):
+    # recompute-based VJP: no activations saved beyond (x, scale, bias)
+    _, vjp = jax.vjp(lambda xx, ss, bb:
+                     _gn_ref_fwd(xx, ss, bb, gelu, eps), x, scale, bias)
+    dx, dscale, dbias = vjp(dout.astype(jnp.float32))
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_ad(x, scale, bias, gelu, eps, stats_stride):
+    return _gn_impl(x, scale, bias, gelu=gelu, eps=eps,
+                    stats_stride=stats_stride)
+
+
+def _gn_ad_fwd(x, scale, bias, gelu, eps, stats_stride):
+    return _gn_ad(x, scale, bias, gelu, eps, stats_stride), (x, scale, bias)
+
+
+def _gn_ad_bwd(gelu, eps, stats_stride, res, dout):
+    x, scale, bias = res
+    return _gn_bwd_core(x, scale, bias, dout, gelu, eps)
+
+
+_gn_ad.defvjp(_gn_ad_fwd, _gn_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gn_res_ad(x, scale, bias, residual, gelu, eps, stats_stride):
+    return _gn_impl(x, scale, bias, gelu=gelu, eps=eps, residual=residual,
+                    stats_stride=stats_stride)
+
+
+def _gn_res_ad_fwd(x, scale, bias, residual, gelu, eps, stats_stride):
+    out = _gn_res_ad(x, scale, bias, residual, gelu, eps, stats_stride)
+    return out, (x, scale, bias)
+
+
+def _gn_res_ad_bwd(gelu, eps, stats_stride, res, dout):
+    x, scale, bias = res
+    dx, dscale, dbias = _gn_bwd_core(x, scale, bias, dout, gelu, eps)
+    # out = residual + gelu(gn(x)): the residual's cotangent is dout itself
+    return dx, dscale, dbias, dout
+
+
+_gn_res_ad.defvjp(_gn_res_ad_fwd, _gn_res_ad_bwd)
+
+
+def _gn_impl(x: jnp.ndarray, scale: jnp.ndarray,
+             bias: jnp.ndarray, gelu: bool = True,
+             eps: float = 1e-6,
+             residual: jnp.ndarray | None = None,
+             quant_scale: jnp.ndarray | None = None,
+             stats_stride: int = 1,
+             emit_amax: bool = False,
+             q_emit_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """GroupNorm(1) [+GELU] [+residual add] on a (B, T, C) tensor via the
     (T, B, C) view, keeping the conv layout end to end (see comment above).
     With `residual`, returns residual + gelu(gn(x)). With `quant_scale`
@@ -793,6 +884,13 @@ def groupnorm1_gelu_btc(x: jnp.ndarray, scale: jnp.ndarray,
         # disappear (up to ~66 ms of the 242 ms forward at B=16). The
         # round-1 layout fear was about the REDUCE, not a broadcast chain.
         # Exact same numerics as the Pallas apply (f32 math, tanh-GELU).
+        # A/B CAVEATS: (1) this flag only takes effect with AA_GN_XLA_STATS
+        # =1 (the default) — with Pallas stats (AA_GN_XLA_STATS=0) it is
+        # silently ignored, there is no XLA apply off the Pallas-stats
+        # branch; (2) when set it takes precedence over AA_GN_FLAT_MAX_B
+        # (the flat small-batch Pallas apply below never runs); (3) it
+        # drops the input_output_aliases={0:0} x-buffer donation the
+        # Pallas apply paths use, so peak HBM can rise by one activation.
         if _os.environ.get("AA_GN_XLA_APPLY", "0") == "1" \
                 and quant_scale is None and not emit_amax:
             y = (x32 - mu[:, None, None]) * rstd[:, None, None]
