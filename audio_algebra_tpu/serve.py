@@ -525,6 +525,10 @@ def main(argv: Optional[list] = None):
 
     if args.turbo:
         os.environ["AA_TURBO_INT8"] = "1"
+    # persistent XLA compile cache: a restarted server reuses the previous
+    # process's compiles — seconds instead of the 290 s cold compile
+    from audio_algebra_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     service = MirageService(model_choice=args.model, half=not args.no_half,
                             batch_window_s=args.batch_window,
                             max_batch=args.max_batch)

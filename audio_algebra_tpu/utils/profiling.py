@@ -17,6 +17,31 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache(cache_dir: Optional[str] = None) -> str:
+    """Point JAX's persistent compilation cache at a stable directory.
+
+    VERDICT r2 item 4: the MIRAGE/serve cold-start paid 290 s (bf16) /
+    97 s (int8) of XLA compile on EVERY process start because only
+    bench.py wired the cache. Every long-lived entrypoint (serve.py,
+    mirage.py, the trainers) calls this at startup so a restart reuses
+    the previous process's compiles (seconds instead of minutes).
+    Resolution order: explicit arg > $AA_COMPILE_CACHE > the repo-root
+    .jax_cache (shared with bench.py and tests/conftest.py)."""
+    import os
+    import pathlib
+    if cache_dir is None:
+        cache_dir = os.environ.get("AA_COMPILE_CACHE")
+    if cache_dir is None:
+        cache_dir = str(pathlib.Path(__file__).resolve().parents[2]
+                        / ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return cache_dir
+
+
 def wait_for_backend(retries: int = 5, delay_s: float = 30.0,
                      configure_cache: bool = True):
     """Initialise the JAX backend with bounded retries.
@@ -30,13 +55,7 @@ def wait_for_backend(retries: int = 5, delay_s: float = 30.0,
     tools/bench_mirage.py and tools/profile.py all need the same rule."""
     import sys
     if configure_cache:
-        try:
-            jax.config.update("jax_compilation_cache_dir",
-                              "/root/repo/.jax_cache")
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+        enable_compile_cache()
     for attempt in range(retries + 1):
         try:
             return jax.devices()

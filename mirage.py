@@ -295,6 +295,10 @@ def main():
     args = p.parse_args()
     if getattr(args, "turbo", False):
         os.environ["AA_TURBO_INT8"] = "1"   # read at model trace time
+    # persistent XLA compile cache: repeat invocations (the GUI's always-on
+    # process role, reference mirage.py:520-651) skip the cold compile
+    from audio_algebra_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
     if args.gui:
         run_gui(args)

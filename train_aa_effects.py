@@ -64,6 +64,8 @@ def demo_log(logger, aa, given_model, val_batch, step: int, sr: int,
 
 def main():
     import jax
+    from audio_algebra_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()  # warm restarts skip recompiles
     import jax.numpy as jnp
     import optax
 

@@ -28,6 +28,8 @@ from audio_algebra_tpu.utils.logging import RunLogger
 
 def main():
     import jax
+    from audio_algebra_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()  # warm restarts skip recompiles
     import jax.numpy as jnp
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
