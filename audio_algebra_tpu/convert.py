@@ -435,9 +435,6 @@ _CLAP_SKIP_MARKERS = (
     "spectrogram_extractor", "logmel_extractor",
     # HTSAT event-classification head, unused by the embedding path
     "tscam_conv", "head.",
-    # >10 s fusion branch: replaced by the deterministic global path
-    # (documented in models/clap.py); counted below, never silent
-    "fusion_model", "mel_conv2d",
 )
 
 
@@ -489,6 +486,38 @@ def _clap_audio_flax_path(name: str):
     if m:
         return ("audio_branch", "patch_norm",
                 "scale" if m.group(1) == "weight" else "bias"), ident
+    # >10 s fusion branch (enable_fusion): the local-crop conv and the AFF
+    # block (HF/laion patch_embed.{mel_conv2d,fusion_model} — both dialects
+    # use the same nn.Sequential indices)
+    m = re.match(r"audio_branch\.patch_embed\.mel_conv2d\.(weight|bias)$", name)
+    if m:
+        if m.group(1) == "weight":
+            return ("audio_branch", "mel_conv2d", "kernel"), \
+                lambda a: np.asarray(a).transpose(2, 3, 1, 0)
+        return ("audio_branch", "mel_conv2d", "bias"), ident
+    m = re.match(r"audio_branch\.patch_embed\.fusion_model\."
+                 r"(local|global)_att\.(\d+)\.(weight|bias|running_mean|"
+                 r"running_var)$", name)
+    if m:
+        side, idx, part = m.groups()
+        # torch Sequential indices: local_att = [conv,bn,relu,conv,bn] ->
+        # 0,1,3,4; global_att = [pool,conv,bn,relu,conv,bn] -> 1,2,4,5
+        conv_idx = {"local": {"0": 1, "3": 2},
+                    "global": {"1": 1, "4": 2}}[side]
+        bn_idx = {"local": {"1": 1, "4": 2},
+                  "global": {"2": 1, "5": 2}}[side]
+        if idx in conv_idx and part in ("weight", "bias"):
+            mod = f"{side}_conv{conv_idx[idx]}"
+            if part == "weight":  # 1x1 Conv2d (O, I, 1, 1) -> Dense (I, O)
+                return ("audio_branch", "fusion_model", mod, "kernel"), \
+                    lambda a: np.asarray(a)[:, :, 0, 0].T
+            return ("audio_branch", "fusion_model", mod, "bias"), ident
+        if idx in bn_idx:
+            mod = f"{side}_bn{bn_idx[idx]}"
+            bn_part = {"weight": "scale", "bias": "bias",
+                       "running_mean": "mean", "running_var": "var"}[part]
+            return ("audio_branch", "fusion_model", mod, bn_part), ident
+        return None, None
     m = re.match(r"audio_branch\.layers\.(\d+)\.blocks\.(\d+)\.(.+)$", name)
     if m:
         i, j, rest = m.group(1), m.group(2), m.group(3)
@@ -678,6 +707,17 @@ def infer_clap_cfgs(sd: Dict[str, np.ndarray], audio_default, text_default):
     bn = sd.get("audio_branch.bn0.weight")
     if bn is not None:
         a_kw["num_mel_bins"] = int(np.asarray(bn).shape[0])
+    # fusion branch: presence of the local-crop conv implies the checkpoint
+    # was trained with enable_fusion (laion_clap "-fusion" models); the AFF
+    # bottleneck ratio falls out of the 1x1 conv shapes
+    mel2d = sd.get("audio_branch.patch_embed.mel_conv2d.weight")
+    if mel2d is not None:
+        a_kw["enable_fusion"] = True
+        aff1 = sd.get("audio_branch.patch_embed.fusion_model."
+                      "local_att.0.weight")
+        if aff1 is not None:
+            aff1 = np.asarray(aff1)          # (inter, channels, 1, 1)
+            a_kw["aff_r"] = max(int(round(aff1.shape[1] / aff1.shape[0])), 1)
     blocks = {}
     for k in sd:
         m = re.match(r"audio_branch\.layers\.(\d+)\.blocks\.(\d+)\.", k)

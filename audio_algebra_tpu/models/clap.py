@@ -22,15 +22,25 @@ transformers ClapModel dialect are handled by convert.convert_clap_state_dict).
 Numeric parity of the towers against transformers.ClapModel (the HF port of
 laion_clap) is asserted in tests/test_clap_parity.py.
 
-Two deliberate departures, both documented:
-  * tokenizer: RoBERTa's BPE needs vocab files this zero-egress environment
-    cannot fetch; `tokenize` uses a local HF tokenizer when one is cached
-    and otherwise falls back to byte-level ids in the reserved low range of
-    the RoBERTa vocab (specials 0/1/2 + bytes at 4..259).
-  * audio >10 s: laion_clap's fusion branch (random local crops + AFF)
-    is replaced by the deterministic global path (is_longer=False
-    semantics); fusion tensors in a checkpoint are counted and reported,
-    never silently dropped.
+The >10 s fusion branch (enable_fusion=True, the reference's construction —
+given_models.py:573) is implemented faithfully: the feature front-end stacks
+a bilinear-downsampled global mel with 3 local chunk crops (laion_clap /
+HF ClapFeatureExtractor `_random_mel_fusion` semantics), the patch embed
+runs the locals through `mel_conv2d` (kernel (p, 3p), stride (p, 3p)) and
+merges them into the global patch grid with the AFF attentional-feature-
+fusion block (HF modeling_clap.py:225-262). Fusion tensors in real
+checkpoints pour tensor-for-tensor (convert.convert_clap_state_dict);
+forward parity vs transformers.ClapModel is asserted in
+tests/test_clap_parity.py. One documented departure from laion_clap: the 3
+local crop POSITIONS are deterministic (centre of each third) instead of
+np.random.choice, so embeddings are reproducible; pass explicit
+`crop_starts` to audio_to_fusion_features for other policies.
+
+Tokenizer: exact byte-level BPE lives in utils/bpe.py and is used when the
+RoBERTa vocab.json/merges.txt assets are available (AA_ROBERTA_VOCAB dir,
+vendored assets/roberta_tokenizer/, or the HF cache); this zero-egress
+image ships no BPE assets, so `tokenize` falls back to byte-level ids in
+the reserved low range of the vocab with a loud warning.
 """
 from __future__ import annotations
 
@@ -77,6 +87,9 @@ class ClapAudioCfg:
     f_min: float = 50.0
     f_max: float = 14000.0
     clip_samples: int = 480000
+    # >10 s fusion branch (laion_clap enable_fusion / fusion_type aff_2d)
+    enable_fusion: bool = False
+    aff_r: int = 4                         # AFF bottleneck ratio (aff_block_r)
 
     @property
     def freq_ratio(self) -> int:
@@ -305,6 +318,23 @@ def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix reproducing torch's bilinear interpolate with
+    align_corners=False (the fusion front-end's mel_shrink resize — HF
+    feature_extraction_clap.py:194-198). Edge-clamped half-pixel centres."""
+    m = np.zeros((n_out, n_in), dtype=np.float64)
+    scale = n_in / n_out
+    for o in range(n_out):
+        s = max((o + 0.5) * scale - 0.5, 0.0)
+        i0 = min(int(np.floor(s)), n_in - 1)
+        i1 = min(i0 + 1, n_in - 1)
+        t = s - i0
+        m[o, i0] += 1.0 - t
+        m[o, i1] += t
+    return m.astype(np.float32)
+
+
 def _reshape_mel2img(x: jnp.ndarray, cfg: ClapAudioCfg) -> jnp.ndarray:
     """(B, C, T, F) log-mel -> (B, C, spec_size, spec_size) Swin input.
 
@@ -333,6 +363,49 @@ def _reshape_mel2img(x: jnp.ndarray, cfg: ClapAudioCfg) -> jnp.ndarray:
 # towers
 # --------------------------------------------------------------------------
 
+class _BN(nn.Module):
+    """Inference-mode BatchNorm over the channel axis: running stats poured
+    from the checkpoint live as params (identity at random init) — the same
+    scheme as the tower's mel-bin bn_*."""
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+class _AFFBlock(nn.Module):
+    """Attentional Feature Fusion (HF ClapAudioAFFBlock,
+    modeling_clap.py:225-262): gate = sigmoid(local_att(g+l) +
+    global_att(g+l)); out = 2*g*gate + 2*l*(1-gate). NHWC; 1x1 convs are
+    Dense over channels, BatchNorms run on poured stats."""
+    channels: int
+    r: int = 4
+
+    @nn.compact
+    def __call__(self, g, local):
+        inter = self.channels // self.r
+        s = g + local
+        la = nn.Dense(inter, name="local_conv1")(s)
+        la = _BN(inter, name="local_bn1")(la)
+        la = nn.relu(la)
+        la = nn.Dense(self.channels, name="local_conv2")(la)
+        la = _BN(self.channels, name="local_bn2")(la)
+        ga = jnp.mean(s, axis=(1, 2), keepdims=True)   # AdaptiveAvgPool2d(1)
+        ga = nn.Dense(inter, name="global_conv1")(ga)
+        ga = _BN(inter, name="global_bn1")(ga)
+        ga = nn.relu(ga)
+        ga = nn.Dense(self.channels, name="global_conv2")(ga)
+        ga = _BN(self.channels, name="global_bn2")(ga)
+        gate = jax.nn.sigmoid(la + ga)
+        return 2.0 * g * gate + 2.0 * local * (1.0 - gate)
+
+
 class HTSATAudioTower(nn.Module):
     """HTSAT Swin transformer over the mel image -> pooled (B, num_features).
 
@@ -343,8 +416,14 @@ class HTSATAudioTower(nn.Module):
     cfg: ClapAudioCfg
 
     @nn.compact
-    def __call__(self, input_features: jnp.ndarray) -> jnp.ndarray:
-        """input_features (B, 1, T, F) log-mel -> (B, num_features)."""
+    def __call__(self, input_features: jnp.ndarray,
+                 is_longer: bool = False) -> jnp.ndarray:
+        """input_features (B, 1, T, F) log-mel — or (B, 4, T, F) with
+        enable_fusion ([global_shrink, front, middle, back] channels) —
+        -> (B, num_features). `is_longer` is STATIC (one compiled program
+        per value): True runs the mel_conv2d + AFF local-crop fusion,
+        False uses only the global channel (HF semantics for clips under
+        10 s, where all 4 channels are copies)."""
         cfg = self.cfg
         f_bins = input_features.shape[-1]
         # BatchNorm2d over mel bins, inference mode (running stats poured
@@ -356,14 +435,61 @@ class HTSATAudioTower(nn.Module):
         x = (input_features - bn_mean) * jax.lax.rsqrt(bn_var + 1e-5)
         x = x * bn_scale + bn_bias
 
-        x = _reshape_mel2img(x, cfg)                      # (B, 1, S, S)
-        x = x.transpose(0, 2, 3, 1)                       # NHWC
+        x = _reshape_mel2img(x, cfg)                      # (B, ch, S, S)
         pad = (cfg.patch_size - cfg.patch_stride) // 2
-        x = nn.Conv(cfg.patch_embed_hidden,
-                    (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_stride, cfg.patch_stride),
-                    padding=((pad, pad), (pad, pad)),
-                    name="patch_proj")(x)
+        proj = nn.Conv(cfg.patch_embed_hidden,
+                       (cfg.patch_size, cfg.patch_size),
+                       strides=(cfg.patch_stride, cfg.patch_stride),
+                       padding=((pad, pad), (pad, pad)),
+                       name="patch_proj")
+        if cfg.enable_fusion:
+            # HF ClapAudioPatchEmbed.forward (modeling_clap.py:313-355):
+            # the global (shrunk full-mel) channel goes through the normal
+            # patch conv; the 3 local crops each go through mel_conv2d
+            # (kernel (p, 3p) stride (p, 3p)), are laid side by side along
+            # the patch-grid width, zero-padded to the global grid width,
+            # and AFF-merged into the global grid.
+            g = proj(x[:, 0:1].transpose(0, 2, 3, 1))     # (B, gh, gw, C)
+            if is_longer:
+                b, _, s_h, s_w = x.shape
+                loc = x[:, 1:4].reshape(b * 3, 1, s_h, s_w)
+                loc = loc.transpose(0, 2, 3, 1)           # NHWC
+                loc = nn.Conv(cfg.patch_embed_hidden,
+                              (cfg.patch_size, 3 * cfg.patch_size),
+                              strides=(cfg.patch_stride,
+                                       3 * cfg.patch_stride),
+                              padding=((pad, pad), (pad, pad)),
+                              name="mel_conv2d")(loc)     # (B*3, h, w, C)
+                _, lh, lw, c = loc.shape
+                loc = loc.reshape(b, 3, lh, lw, c)
+                loc = loc.transpose(0, 2, 1, 3, 4).reshape(b, lh, 3 * lw, c)
+                gw_ = g.shape[2]
+                loc = jnp.pad(loc, ((0, 0), (0, 0),
+                                    (0, gw_ - 3 * lw), (0, 0)))
+                g = _AFFBlock(cfg.patch_embed_hidden, cfg.aff_r,
+                              name="fusion_model")(g, loc)
+            elif self.is_initializing():
+                # the fusion params must exist even when the first call is
+                # a short clip: trace the local path once with zeros
+                b, _, s_h, s_w = x.shape
+                loc = jnp.zeros((b * 3, s_h, s_w, 1), x.dtype)
+                loc = nn.Conv(cfg.patch_embed_hidden,
+                              (cfg.patch_size, 3 * cfg.patch_size),
+                              strides=(cfg.patch_stride,
+                                       3 * cfg.patch_stride),
+                              padding=((pad, pad), (pad, pad)),
+                              name="mel_conv2d")(loc)
+                _, lh, lw, c = loc.shape
+                loc = loc.reshape(x.shape[0], 3, lh, lw, c)
+                loc = loc.transpose(0, 2, 1, 3, 4).reshape(
+                    x.shape[0], lh, 3 * lw, c)
+                loc = jnp.pad(loc, ((0, 0), (0, 0),
+                                    (0, g.shape[2] - 3 * lw), (0, 0)))
+                _AFFBlock(cfg.patch_embed_hidden, cfg.aff_r,
+                          name="fusion_model")(g, loc)
+            x = g
+        else:
+            x = proj(x.transpose(0, 2, 3, 1))             # NHWC
         b, gh, gw, c = x.shape
         x = x.reshape(b, gh * gw, c)
         x = nn.LayerNorm(epsilon=cfg.ln_eps, name="patch_norm")(x)
@@ -456,8 +582,9 @@ class ClapAudioEmbedder(nn.Module):
     cfg: ClapAudioCfg
 
     @nn.compact
-    def __call__(self, input_features):
-        pooled = HTSATAudioTower(self.cfg, name="audio_branch")(input_features)
+    def __call__(self, input_features, is_longer: bool = False):
+        pooled = HTSATAudioTower(self.cfg, name="audio_branch")(
+            input_features, is_longer=is_longer)
         e = ProjectionMLP(self.cfg.projection_dim, name="audio_projection")(pooled)
         return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
 
@@ -477,17 +604,35 @@ class ClapTextEmbedder(nn.Module):
 # tokenizer + waveform front-end
 # --------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=1)
+def _bpe_engine():
+    """The in-repo exact BPE engine, built once from on-disk assets
+    (raises FileNotFoundError when none are vendored)."""
+    from ..utils.bpe import RobertaBPE
+    return RobertaBPE.from_assets()
+
+
 def tokenize(texts: Sequence[str], cfg: ClapTextCfg) -> np.ndarray:
     """list[str] -> (N, L) int32 RoBERTa-style ids.
 
-    Uses a locally cached HF RobertaTokenizer when one exists (the BPE
-    vocab cannot be fetched in this zero-egress environment); otherwise
-    byte-level ids in the reserved low range of the vocab: <s>=0, <pad>=1,
-    </s>=2, bytes at 4..259 (all < any RoBERTa vocab size, so poured
-    checkpoints still run — embeddings for these rows are then those of
-    rare BPE tokens; exact text parity needs the real tokenizer files).
+    Priority: (1) the in-repo byte-level BPE engine (utils/bpe.py) over
+    vocab.json + merges.txt assets when present (AA_ROBERTA_VOCAB /
+    vendored assets/ / HF cache) — exact RobertaTokenizer ids, no torch;
+    (2) a locally cached HF RobertaTokenizerFast; (3) byte-level ids in
+    the reserved low range of the vocab: <s>=0, <pad>=1, </s>=2, bytes at
+    4..259 (all < any RoBERTa vocab size, so poured checkpoints still run —
+    embeddings for these rows are then those of rare BPE tokens; exact
+    text parity needs the real tokenizer data, which this zero-egress
+    image cannot fetch).
     """
     fallback_reason = None
+    try:
+        ids, _ = _bpe_engine()(list(texts), max_len=cfg.max_len)
+        return ids
+    except FileNotFoundError:
+        pass  # no assets vendored — try the HF cache, then bytes
+    except Exception as e:  # pragma: no cover - corrupt assets
+        fallback_reason = f"bpe: {type(e).__name__}: {e}"
     try:  # pragma: no cover - exercised only where HF cache exists
         from transformers import RobertaTokenizerFast
         # local_files_only already forbids network access — no need to
@@ -511,6 +656,46 @@ def tokenize(texts: Sequence[str], cfg: ClapTextCfg) -> np.ndarray:
         out[i, : len(ids)] = ids
     longest = max((int((row != cfg.pad_id).sum()) for row in out), default=2)
     return out[:, : max(longest, 2)]
+
+
+def fusion_crop_starts(total_frames: int, chunk_frames: int):
+    """Deterministic local-crop start frames: the centre of each of the 3
+    ranges laion_clap/HF sample from (np.array_split of
+    range(total-chunk+1) into thirds, HF feature_extraction_clap.py:178-188
+    uses np.random.choice per range; centres keep embeddings reproducible)."""
+    span = total_frames - chunk_frames + 1
+    splits = np.array_split(np.arange(max(span, 1)), 3)
+    return tuple(int(s[len(s) // 2]) if len(s) else 0 for s in splits)
+
+
+def audio_to_fusion_features(x: jnp.ndarray, cfg: ClapAudioCfg,
+                             crop_starts=None) -> jnp.ndarray:
+    """(B, T) mono waveform LONGER than clip_samples -> (B, 4, chunk, mels)
+    fusion features [global_shrink, front, middle, back] (laion_clap /
+    HF ClapFeatureExtractor `_random_mel_fusion`): the full-length log-mel
+    is bilinear-shrunk (align_corners=False) to chunk_frames on the time
+    axis, and three chunk_frames crops are taken at `crop_starts`
+    (deterministic thirds-centres by default, see fusion_crop_starts)."""
+    b, t = x.shape
+    chunk = cfg.clip_samples // cfg.hop + 1
+    mel = melspectrogram(x, cfg.sample_rate, cfg.n_fft, cfg.hop,
+                         n_mels=cfg.num_mel_bins, power=2.0,
+                         f_min=cfg.f_min, f_max=cfg.f_max)   # (B, mels, F)
+    logmel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    logmel = logmel.transpose(0, 2, 1)                       # (B, F, mels)
+    total = logmel.shape[1]
+    if total <= chunk:
+        # corner case (HF: chunk_frames == total_frames -> not longer):
+        # 4 copies, callers should use is_longer=False
+        pad = jnp.pad(logmel, ((0, 0), (0, chunk - total), (0, 0)))
+        return jnp.repeat(pad[:, None], 4, axis=1)
+    if crop_starts is None:
+        crop_starts = fusion_crop_starts(total, chunk)
+    shrink = jnp.einsum("ot,btf->bof",
+                        jnp.asarray(_bilinear_matrix(total, chunk)), logmel)
+    crops = [jax.lax.dynamic_slice_in_dim(logmel, int(s), chunk, axis=1)
+             for s in crop_starts]
+    return jnp.stack([shrink] + crops, axis=1)               # (B, 4, chunk, F)
 
 
 def audio_to_input_features(x: jnp.ndarray, cfg: ClapAudioCfg) -> jnp.ndarray:
@@ -552,6 +737,7 @@ class CLAPModule:
         a = dict(audio_cfg or {})
         a.setdefault("patch_embed_hidden", _AMODEL_EMBED.get(amodel, 128))
         a.setdefault("projection_dim", embed_dim)
+        a.setdefault("enable_fusion", enable_fusion)
         for k in ("depths", "heads"):       # JSON configs carry lists
             if k in a:
                 a[k] = tuple(a[k])
@@ -570,20 +756,32 @@ class CLAPModule:
     def _make_jits(self):
         # One jit program per call path: the mel front-end runs INSIDE the
         # jit (long eager op chains are both slower and flaky on the axon
-        # relay; a single compiled program is stable)
+        # relay; a single compiled program is stable). With fusion enabled
+        # there are two audio programs: the short-clip global path
+        # (is_longer=False — only channel 0 is read, so the (B,1,T,F)
+        # features double as the 4-copy stack) and the >10 s fused path.
         cfg = self.audio_cfg
         self._audio_jit = jax.jit(
             lambda p, wav: self.audio_model.apply(
                 p, audio_to_input_features(wav, cfg)))
+        self._audio_jit_long = jax.jit(
+            lambda p, wav: self.audio_model.apply(
+                p, audio_to_fusion_features(wav, cfg), is_longer=True))
         self._text_jit = jax.jit(self.text_model.apply)
 
     def _ensure_init(self, audio_len: int = 48000):
         if self.audio_params is None:
+            from ..utils.params import fast_random_params
+
             k1, k2, self._key = jax.random.split(self._key, 3)
             feats = audio_to_input_features(jnp.zeros((1, 256)), self.audio_cfg)
-            self.audio_params = self.audio_model.init(k1, feats)
-            self.text_params = self.text_model.init(
-                k2, jnp.zeros((1, 8), jnp.int32))
+            # shape-only init + host-side fill: an eager flax .init of
+            # HTSAT-base is thousands of individual dispatches over the
+            # axon relay (measured: >9 min wall before the first real
+            # compile even starts)
+            self.audio_params = fast_random_params(self.audio_model, k1, feats)
+            self.text_params = fast_random_params(
+                self.text_model, k2, jnp.zeros((1, 8), jnp.int32))
             self._make_jits()
 
     def load_ckpt(self, ckpt=None, model_id=None, verbose: bool = False):
@@ -623,11 +821,19 @@ class CLAPModule:
             print(f"CLAPModule: {e}. Going with random weights")
 
     def get_audio_embedding_from_data(self, x, use_tensor: bool = True) -> jnp.ndarray:
-        """(B, T) mono audio @48k -> (B, 512)."""
+        """(B, T) mono audio @48k -> (B, 512). With enable_fusion, clips
+        longer than 10 s take the local-crops + AFF fused path (laion_clap
+        is_longer semantics — MIRAGE's 22 s embed inputs land here)."""
         x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[None]
         self._ensure_init(x.shape[-1])
+        cfg = self.audio_cfg
+        n_frames = x.shape[-1] // cfg.hop + 1
+        if (self.audio_cfg.enable_fusion
+                and n_frames > cfg.clip_samples // cfg.hop + 1):
+            return self._audio_jit_long(self.audio_params,
+                                        x.astype(jnp.float32))
         return self._audio_jit(self.audio_params, x.astype(jnp.float32))
 
     def get_text_embedding(self, texts: Sequence[str], use_tensor: bool = True) -> jnp.ndarray:

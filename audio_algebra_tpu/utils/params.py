@@ -46,7 +46,11 @@ def fast_random_params(model, rng_or_seed, *args, dtype=jnp.float32, **kwargs) -
         if len(shape) == 0:
             return jnp.zeros((), dtype)
         if name in ("bias", "b") or len(shape) == 1:
-            if name == "scale":   # norm scales start at 1
+            lname = name.lower()
+            # norm scales and (running) variances start at 1 — zero-filled
+            # they annihilate the activations (bn_scale/bn_var in the CLAP
+            # towers surfaced this: rsqrt(0+eps)*0 made every embedding 0)
+            if "scale" in lname or lname.endswith("var"):
                 return jnp.ones(shape, dtype)
             return jnp.zeros(shape, dtype)
         fan_in = int(np.prod(shape[:-1]))
