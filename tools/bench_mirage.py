@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                     help="bf16 = the app's serving default (half)")
+    ap.add_argument("--model-len", default="22s", choices=["22s", "66s"],
+                    help="generation window (reference given_models.py:696-698)")
     args = ap.parse_args()
 
     import jax
@@ -32,7 +34,7 @@ def main():
     from audio_algebra_tpu.given_models import CLAPDAE
 
     w = CLAPDAE(debug=False)
-    w.setup(gdrive=False)
+    w.setup(gdrive=False, model_len=args.model_len)
     if args.dtype == "bf16":
         w.half()
 
@@ -66,7 +68,8 @@ def main():
         eff_dtype += "_turboint8"      # never mislabel the int8 dial as bf16
     print(json.dumps({
         "metric": f"mirage_generate_rt_{args.inner_steps}i_"
-                  f"{args.outer_steps}o_{eff_dtype}",
+                  f"{args.outer_steps}o_{eff_dtype}"
+                  + ("_66s" if args.model_len == "66s" else ""),
         "value": round(audio_sec / dt, 2), "unit": "x_realtime_per_chip",
         "note": f"{dt:.1f}s per {audio_sec:.1f}s of audio; "
                 f"compile {compile_s:.0f}s"}))

@@ -8,6 +8,7 @@ Publishes: per-wrapper roundtrip spectral MSE on the dry fixtures, the
 torch.stft parity error, and the DVAE embedding fingerprint.
 """
 import json
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -74,5 +75,26 @@ def main():
     print(f"wrote {out} ({len(golden)} entries)")
 
 
+def main_generation():
+    """Write tests/goldens/generation.json — the fixed-seed tiny-model
+    generate() fingerprint pinned by tests/test_generation_golden.py."""
+    import sys
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_generation_golden import run_tiny_generation, fingerprint
+
+    fakes, latents = run_tiny_generation()
+    fp = fingerprint(fakes, latents)
+    out = REPO / "tests" / "goldens" / "generation.json"
+    out.write_text(json.dumps(fp, indent=1))
+    print(f"wrote {out}: fakes_rms={fp['fakes_rms']:.6f} "
+          f"latents_rms={fp['latents_rms']:.6f}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--generation" in sys.argv:
+        main_generation()
+    else:
+        main()
