@@ -223,6 +223,27 @@ def main():
         "unit": "x_realtime_per_chip", "vs_baseline": round(rt_enc / 100.0, 3),
         "note": f"{dt_enc*1e3:.1f} ms/batch"}), file=sys.stderr)
 
+    # --- training steps (the reference's dominant workload: 8-GPU DDP
+    # training, defaults.ini:13-19) — full table in BASELINE.md. The
+    # aa-mixer step compiles in seconds; the CLAPDAE generator step can
+    # take minutes on a cold compile cache, so it runs only when
+    # AA_BENCH_TRAIN=all (numbers recorded in BASELINE.md either way). ---
+    if os.environ.get("AA_BENCH_TRAIN", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            from bench_train import run_train_bench
+            full = os.environ.get("AA_BENCH_TRAIN") == "all"
+            results = run_train_bench(
+                quick=False, clapdae_batch=16, mixer_batch=128,
+                iters=2, skip_encode=True) if full else \
+                [__import__("bench_train").bench_mixer_step(128, 2, False)]
+            for r in results:
+                print("# " + json.dumps(r), file=sys.stderr)
+        except Exception as e:
+            print(f"# train bench skipped: {type(e).__name__}: "
+                  f"{str(e)[:160]}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
