@@ -49,6 +49,7 @@ def _rel_err(a, b):
     # channel boundary + attention on the deepest 2 levels
     dict(io_channels=2, cond_dim=8, n_attn_layers=2, c_mults=(16, 32, 32)),
 ])
+@pytest.mark.slow
 def test_unet_pour_forward_parity(cfg):
     from audio_algebra_tpu.models.unet1d import DiffusionAttnUnet1D
     from audio_algebra_tpu.convert import convert_by_shape, _n_params
@@ -94,6 +95,7 @@ def test_unet_pour_forward_parity(cfg):
 
 # ---------------------------------------------------------------- DVAE -----
 
+@pytest.mark.slow
 def test_dvae_pour_forward_parity():
     from audio_algebra_tpu.models.dvae import DiffusionDVAE
     from audio_algebra_tpu.convert_dvae import convert_dvae_state_dict
@@ -137,6 +139,7 @@ def test_dvae_pour_forward_parity():
 
 # -------------------------------------------------------------- stacked ----
 
+@pytest.mark.slow
 def test_stacked_pour_forward_parity():
     from audio_algebra_tpu.models.stacked import LatentAudioDiffusionAutoencoder
     from audio_algebra_tpu.convert import convert_stacked_state_dict
@@ -191,6 +194,7 @@ def test_stacked_pour_forward_parity():
 
 # ----------------------------------------------------------------- RAVE ----
 
+@pytest.mark.slow
 def test_rave_pour_forward_parity():
     """VERDICT r1 "Missing #2": real RAVE v2 structure (weight-normed
     conv nets under encoder/decoder) pours with full hit rate and matches
@@ -239,6 +243,7 @@ def test_rave_pour_forward_parity():
 
 # ------------------------------------------------------------------ LDM ----
 
+@pytest.mark.slow
 def test_ldm_pour_forward_parity():
     """The MIRAGE inner model (StackedAELatentDiffusionCond's UNetCFG1d —
     VERDICT r1 Missing #1 named this converter explicitly). The torch

@@ -116,6 +116,7 @@ def test_butterworth_rolloff(btype, fn, cut):
     assert h[i_stop] < 0.01              # >20 dB down two octaves out
 
 
+@pytest.mark.slow
 def test_bandpass_bandstop_complementary():
     sr, n = 48000, 32768
     rng = np.random.default_rng(4)

@@ -119,6 +119,7 @@ def test_apply_effect_by_name(tone):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_phaser_reverb_traced_knobs_jit_vmap(tone):
     """Every effect's knob must trace (the module contract: 'knob sweeps
     vmap/jit on device') — phaser and reverb used host-side math.sin /

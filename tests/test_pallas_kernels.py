@@ -309,6 +309,7 @@ class TestTurboInt8:
         true_amax = jnp.max(jnp.abs(turbo), axis=(0, 1))
         assert bool(jnp.all(amax >= true_amax - 1e-4))
 
+    @pytest.mark.slow
     def test_amax_threading_flat_small_batch(self, monkeypatch):
         """The whole turbo level through the FLAT-row GN dispatch
         (AA_GN_FLAT_MAX_B) at serving batch B=1 must match the
@@ -386,6 +387,7 @@ class TestTurboInt8:
         assert int(jnp.abs(o8.astype(jnp.int32)
                            - manual.astype(jnp.int32)).max()) <= 1
 
+    @pytest.mark.slow
     def test_amax_carry_unet_decode(self, monkeypatch):
         """Turbo decode with the amax-carry sampler (aux threaded through
         the loop, step 0 unrolled) stays within the turbo error band of the

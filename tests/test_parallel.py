@@ -33,6 +33,7 @@ def test_shard_batch_places_on_devices():
     assert sx.addressable_shards[0].data.shape == (2, 2, 64)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     """The dp step over 8 devices must produce the same update as single-
     device execution — the psum the shardings induce is a mean-preserving

@@ -50,6 +50,7 @@ def test_conv1d_seq_any_kernel(mesh, k):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_groupnorm1_seq_matches_unsharded(mesh):
     from flax import linen as nn
     x = jax.random.normal(jax.random.PRNGKey(4), (3, 512, 32)) * 2 + 0.5
@@ -62,6 +63,7 @@ def test_groupnorm1_seq_matches_unsharded(mesh):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_resconv_block_seq_matches_module(mesh):
     """A full ResConvBlock sequence-parallel == the flax module (same
     params), proving an oversized window can run across chips instead of

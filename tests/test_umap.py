@@ -49,6 +49,7 @@ def test_clusters_separate_in_2d():
     assert inter > 2 * intra, (inter, intra)
 
 
+@pytest.mark.slow
 def test_alignment_across_sweeps():
     """Two 'knob sweeps' = the same points slightly perturbed; a shared
     parametric map must place corresponding points near each other (the
