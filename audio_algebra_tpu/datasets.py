@@ -254,13 +254,14 @@ class AudioDataset:
         self.silence_thresh = silence_thresh
         self.max_redraws = max_redraws
         self.filenames = get_audio_filenames(paths) if filenames is None else filenames
-        loadable = ('.wav', '.wave', '.mp3')   # what the native codec decodes
+        # what the native codec decodes (audio_codec/flac_decoder/vorbis_codec)
+        loadable = ('.wav', '.wave', '.mp3', '.flac', '.ogg', '.oga')
         skipped = [f for f in self.filenames
                    if Path(f).suffix.lower() not in loadable]
         if skipped:
             print(f"AudioDataset: skipping {len(skipped)} files in formats "
-                  f"the native codec can't decode yet (supported: wav/mp3), "
-                  f"e.g. {skipped[0]}")
+                  f"the native codec can't decode yet "
+                  f"(supported: wav/mp3/flac/ogg), e.g. {skipped[0]}")
             self.filenames = [f for f in self.filenames
                               if Path(f).suffix.lower() in loadable]
         print(f"AudioDataset:{len(self.filenames)} files found.")

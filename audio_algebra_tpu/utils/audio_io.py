@@ -135,22 +135,68 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int, subtype: str = "pc
         raise ValueError(f"unknown subtype {subtype!r}")
 
 
-def decode_mp3(path: str) -> tuple[np.ndarray, int]:
-    """Decode an MP3 via the native C++ decoder -> ((C, N) float32, sr)."""
+def _native_decode(entry: str, path: str, kind: str) -> tuple[np.ndarray, int]:
+    """Call a native `(path, float**, int*, int*) -> frames` decode entry."""
     lib = _native_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, entry):
         raise RuntimeError(
-            "MP3 decoding requires the native codec: run `make -C native` "
+            f"{kind} decoding requires the native codec: run `make -C native` "
             "to build libaacodec.so"
         )
+    fn = getattr(lib, entry)
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     buf = ctypes.POINTER(ctypes.c_float)()
     ch, sr = ctypes.c_int(0), ctypes.c_int(0)
-    n = lib.aa_decode_mp3(path.encode(), ctypes.byref(buf), ctypes.byref(ch), ctypes.byref(sr))
+    n = fn(path.encode(), ctypes.byref(buf), ctypes.byref(ch), ctypes.byref(sr))
     if n <= 0:
-        raise ValueError(f"mp3 decode failed ({n}): {path}")
+        raise ValueError(f"{kind} decode failed ({n}): {path}")
     arr = np.ctypeslib.as_array(buf, shape=(int(n) * ch.value,)).reshape(int(n), ch.value).T.copy()
     lib.aa_free(buf)
     return arr.astype(np.float32), sr.value
+
+
+def decode_mp3(path: str) -> tuple[np.ndarray, int]:
+    """Decode an MP3 via the native C++ decoder -> ((C, N) float32, sr)."""
+    return _native_decode("aa_decode_mp3", path, "MP3")
+
+
+def decode_flac(path: str) -> tuple[np.ndarray, int]:
+    """Decode FLAC via the from-scratch native decoder (flac_decoder.cpp)."""
+    return _native_decode("aa_read_flac", path, "FLAC")
+
+
+def decode_ogg(path: str) -> tuple[np.ndarray, int]:
+    """Decode OGG/Vorbis via the dlopen'd libvorbisfile (vorbis_codec.cpp)."""
+    return _native_decode("aa_decode_ogg", path, "OGG")
+
+
+def encode_ogg(path: str, audio: np.ndarray, sample_rate: int,
+               quality: float = 0.4) -> None:
+    """Encode (C, N) float32 in [-1,1] as OGG/Vorbis via libvorbisenc."""
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "aa_encode_ogg"):
+        raise RuntimeError("OGG encoding requires the native codec")
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    interleaved = np.ascontiguousarray(audio.T, dtype=np.float32)
+    lib.aa_encode_ogg.restype = ctypes.c_int
+    lib.aa_encode_ogg.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,
+    ]
+    rc = lib.aa_encode_ogg(
+        str(path).encode(),
+        interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        interleaved.shape[0], audio.shape[0], sample_rate, quality)
+    if rc != 0:
+        raise ValueError(f"ogg encode failed ({rc}): {path}")
 
 
 def decode_batch(paths, num_threads: int = 0):
@@ -197,6 +243,10 @@ def load_audio_raw(path: str):
     ext = Path(str(path)).suffix.lower()
     if ext == ".mp3":
         return decode_mp3(str(path))
+    if ext == ".flac":
+        return decode_flac(str(path))
+    if ext in (".ogg", ".oga"):
+        return decode_ogg(str(path))
     return read_wav(str(path))
 
 
@@ -210,6 +260,10 @@ def load_audio(path: str, sr: int = 48000, verbose: bool = False) -> np.ndarray:
         audio, in_sr = decode_mp3(path)
     elif ext in (".wav", ".wave"):
         audio, in_sr = read_wav(path)
+    elif ext == ".flac":
+        audio, in_sr = decode_flac(path)
+    elif ext in (".ogg", ".oga"):
+        audio, in_sr = decode_ogg(path)
     else:
         raise ValueError(f"unsupported audio format: {ext}")
     if in_sr != sr:

@@ -226,9 +226,13 @@ extern "C" void aa_free(float* p) { free(p); }
 // reference fed training from torch DataLoader worker *processes*; here a
 // single ctypes call decodes a whole batch on a C++ thread pool (the GIL
 // is released for the entire batch, not per file). Dispatch is by file
-// magic: RIFF -> WAV reader, else mpg123.
+// magic: RIFF -> WAV, fLaC -> native FLAC (flac_decoder.cpp), OggS ->
+// vorbisfile (vorbis_codec.cpp), else mpg123.
 #include <thread>
 #include <atomic>
+
+extern "C" long long aa_read_flac(const char*, float**, int*, int*);
+extern "C" long long aa_decode_ogg(const char*, float**, int*, int*);
 
 static long long decode_any(const char* path, float** out, int* ch, int* rate) {
     FILE* f = fopen(path, "rb");
@@ -238,6 +242,10 @@ static long long decode_any(const char* path, float** out, int* ch, int* rate) {
     fclose(f);
     if (got == 4 && !memcmp(magic, "RIFF", 4))
         return aa_read_wav(path, out, ch, rate);
+    if (got == 4 && !memcmp(magic, "fLaC", 4))
+        return aa_read_flac(path, out, ch, rate);
+    if (got == 4 && !memcmp(magic, "OggS", 4))
+        return aa_decode_ogg(path, out, ch, rate);
     return aa_decode_mp3(path, out, ch, rate);
 }
 

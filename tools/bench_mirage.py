@@ -62,6 +62,11 @@ def main():
     if st:
         print(f"# stage times (last iter): inner {st['inner_s']:.2f}s, "
               f"outer+AE {st['outer_s']:.2f}s", file=sys.stderr)
+    ms = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+    if ms and ms.get("bytes_limit"):
+        peak, lim = ms.get("peak_bytes_in_use", 0), ms["bytes_limit"]
+        print(f"# HBM peak {peak/2**30:.2f} GiB of {lim/2**30:.2f} GiB "
+              f"({100*peak/lim:.0f}%)", file=sys.stderr)
     import os
     eff_dtype = args.dtype
     if os.environ.get("AA_TURBO_INT8") == "1":
