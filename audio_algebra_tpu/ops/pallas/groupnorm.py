@@ -9,9 +9,13 @@ layout copies around EVERY GroupNorm, 69 ms of the 350 ms UNet forward
 tensor in its natural row-major layout: the statistics come from an XLA
 reduce that FUSES into the output fusion of the conv that produced x
 (zero extra HBM passes — see groupnorm1_gelu_btc), and the normalise +
-affine (+ optional exact-tanh GELU) apply stays a Pallas kernel. HBM
-traffic: 1 read + 1 write vs XLA's reduce-read + 2 copies (r+w each) +
-apply (r+w) = 7 passes. (AA_GN_XLA_STATS=0 falls back to a Pallas stats
+affine (+ optional exact-tanh GELU) apply is, since round 3, ALSO an XLA
+elementwise chain at batch >= 16 (it input-fuses into the consuming conv:
+bf16 2.57 -> 2.69x) while smaller batches keep the Pallas apply kernel.
+HBM traffic (Pallas apply): 1 read + 1 write vs XLA's historical
+reduce-read + 2 copies (r+w each) + apply (r+w) = 7 passes — the layout
+ping-pong only ever came from the REDUCE, which is why stats-in-XLA +
+apply-in-XLA is now safe. (AA_GN_XLA_STATS=0 falls back to a Pallas stats
 pass — 2R+1W — kept for measurement.)
 
 Semantics match flax nn.GroupNorm(num_groups=1) (eps 1e-6, f32 stats) —
@@ -877,22 +881,30 @@ def _gn_impl(x: jnp.ndarray, scale: jnp.ndarray,
         var = jnp.maximum(jnp.mean(jnp.square(x32), axis=(1, 2))
                           - jnp.square(mu), 0.0)
         rstd = jax.lax.rsqrt(var + eps)
-        # AA_GN_XLA_APPLY=1 (experiment, default off): run the normalise
-        # apply in XLA too. With the stats already fused into the producer
-        # conv, the apply is a pure elementwise chain — if XLA input-fuses
-        # it into the CONSUMING conv, the apply's HBM write + conv re-read
-        # disappear (up to ~66 ms of the 242 ms forward at B=16). The
-        # round-1 layout fear was about the REDUCE, not a broadcast chain.
-        # Exact same numerics as the Pallas apply (f32 math, tanh-GELU).
-        # A/B CAVEATS: (1) this flag only takes effect with AA_GN_XLA_STATS
-        # =1 (the default) — with Pallas stats (AA_GN_XLA_STATS=0) it is
+        # XLA normalise apply (DEFAULT at b >= AA_GN_XLA_APPLY_MIN_B = 16,
+        # the shapes where it was measured faster; the r2 verdict's "last
+        # bf16 bite"): with the stats already fused into the producer
+        # conv, the apply is a pure elementwise chain — XLA input-fuses it
+        # into the CONSUMING conv, so the apply's HBM write + conv re-read
+        # disappear. Measured (same-day A/B, 35-step destructo bench,
+        # B=16): bf16 2.57 -> 2.69x realtime (step 8496 -> 8133 ms), turbo
+        # int8 3.36 -> 3.40x. The round-1 layout fear was about the
+        # REDUCE, not a broadcast chain. Exact same numerics as the Pallas
+        # apply (f32 math, tanh-GELU). AA_GN_XLA_APPLY=1 forces it at any
+        # batch, =0 disables entirely (restoring the Pallas apply).
+        # A/B CAVEATS: (1) this path only exists with AA_GN_XLA_STATS=1
+        # (the default) — with Pallas stats (AA_GN_XLA_STATS=0) it is
         # silently ignored, there is no XLA apply off the Pallas-stats
-        # branch; (2) when set it takes precedence over AA_GN_FLAT_MAX_B
-        # (the flat small-batch Pallas apply below never runs); (3) it
-        # drops the input_output_aliases={0:0} x-buffer donation the
-        # Pallas apply paths use, so peak HBM can rise by one activation.
-        if _os.environ.get("AA_GN_XLA_APPLY", "0") == "1" \
-                and quant_scale is None and not emit_amax:
+        # branch; (2) when it runs it takes precedence over
+        # AA_GN_FLAT_MAX_B (the flat small-batch Pallas apply below never
+        # runs); (3) it drops the input_output_aliases={0:0} x-buffer
+        # donation the Pallas apply paths use, so peak HBM can rise by one
+        # activation.
+        _xla_apply_env = _os.environ.get("AA_GN_XLA_APPLY", "")
+        _xla_apply = _xla_apply_env == "1" or (
+            _xla_apply_env != "0"
+            and b >= int(_os.environ.get("AA_GN_XLA_APPLY_MIN_B", 16)))
+        if _xla_apply and quant_scale is None and not emit_amax:
             y = (x32 - mu[:, None, None]) * rstd[:, None, None]
             y = y * scale.astype(jnp.float32)[None, None, :] \
                 + bias.astype(jnp.float32)[None, None, :]

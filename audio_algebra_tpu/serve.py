@@ -54,10 +54,17 @@ __all__ = ["MirageService", "make_server", "main"]
 
 def _sniff_suffix(data: bytes) -> str:
     """Pick the loader extension from the magic bytes: RIFF/WAVE -> .wav,
-    anything else (ID3 tag or bare MPEG sync) -> .mp3. The GUI file input
-    accepts audio/* and posts raw bytes, so the extension must come from
-    the content, not the route."""
-    return ".wav" if data[:4] == b"RIFF" else ".mp3"
+    fLaC -> .flac, OggS -> .ogg, anything else (ID3 tag or bare MPEG
+    sync) -> .mp3. The GUI file input accepts audio/* and posts raw
+    bytes, so the extension must come from the content, not the route."""
+    magic = data[:4]
+    if magic == b"RIFF":
+        return ".wav"
+    if magic == b"fLaC":
+        return ".flac"
+    if magic == b"OggS":
+        return ".ogg"
+    return ".mp3"
 
 
 def _decode_audio_bytes(data: bytes, suffix: Optional[str] = None
@@ -472,7 +479,13 @@ def _make_handler(service: MirageService):
             ctype = (self.headers.get("Content-Type") or "").lower()
             try:
                 if self.path == "/embed":
-                    if ctype.startswith("audio/"):
+                    # audio/* Content-Type, or octet-stream (curl's
+                    # default) whose magic is WAV/FLAC/OGG/ID3-tagged MP3
+                    has_magic = (data[:4] in (b"RIFF", b"fLaC", b"OggS")
+                                 or data[:3] == b"ID3")
+                    is_audio = ctype.startswith("audio/") or (
+                        not ctype.startswith("application/json") and has_magic)
+                    if is_audio:
                         # suffix sniffed from the bytes — Content-Type
                         # subtype lies often enough (audio/* file inputs)
                         emb = service.embed_audio_bytes(data)

@@ -83,6 +83,26 @@ class TestGroupNormFused:
         assert float(jnp.abs(y_xla - ref).max()) < 1e-5
         assert float(jnp.abs(y_xla - y_pl).max()) < 1e-6
 
+    def test_xla_apply_default_at_large_batch(self, monkeypatch):
+        """The round-3 default — XLA apply at b >= 16 (bf16 2.57 -> 2.69x
+        on chip) — must match the Pallas apply it replaced. b=16 with no
+        env flag takes the XLA path; AA_GN_XLA_APPLY=0 forces Pallas."""
+        import jax
+        import jax.numpy as jnp
+        from audio_algebra_tpu.ops.pallas.groupnorm import groupnorm1_gelu_btc
+
+        monkeypatch.delenv("AA_GN_XLA_APPLY", raising=False)
+        x = jax.random.normal(jax.random.PRNGKey(9), (16, 256, 128),
+                              jnp.float32) * 1.1 - 0.2
+        scale = jnp.linspace(0.7, 1.3, 128)
+        bias = jnp.linspace(-0.1, 0.1, 128)
+        ref = self._ref(x, scale, bias, True)
+        y_default = groupnorm1_gelu_btc(x, scale, bias, gelu=True)
+        monkeypatch.setenv("AA_GN_XLA_APPLY", "0")
+        y_pl = groupnorm1_gelu_btc(x, scale, bias, gelu=True)
+        assert float(jnp.abs(y_default - ref).max()) < 1e-5
+        assert float(jnp.abs(y_default - y_pl).max()) < 1e-6
+
     @pytest.mark.parametrize("b", [1, 3, 4])
     @pytest.mark.parametrize("residual", [False, True])
     def test_flat_apply_small_batch_matches(self, b, residual, monkeypatch):

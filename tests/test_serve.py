@@ -62,6 +62,33 @@ def test_embed_audio_wav(server):
     assert emb.shape == (1, 1, 512)
 
 
+def test_embed_audio_flac_sniffed(server):
+    """FLAC bytes posted with a generic content type: magic sniffing must
+    route them through the native FLAC decoder."""
+    import io
+    from audio_algebra_tpu.utils import audio_io
+    from audio_algebra_tpu.utils.flac_write import write_flac
+    if audio_io._native_lib() is None:
+        import pytest
+        pytest.skip("native codec not built")
+    import tempfile, os
+    rng = np.random.default_rng(1)
+    x = np.tanh(rng.standard_normal((2, 4096))).astype(np.float32) * 0.5
+    with tempfile.NamedTemporaryFile(suffix=".flac", delete=False) as f:
+        path = f.name
+    try:
+        write_flac(path, x, 48000)
+        data = open(path, "rb").read()
+    finally:
+        os.unlink(path)
+    c = _conn(server)
+    c.request("POST", "/embed", data, {"Content-Type": "application/octet-stream"})
+    r = c.getresponse()
+    assert r.status == 200
+    emb = np.asarray(json.loads(r.read())["embedding"])
+    assert emb.shape == (1, 1, 512)
+
+
 def test_generate_returns_playable_wav(server):
     c = _conn(server)
     spec = {"text": ["warm pad", "icy pad"], "interp": 0.25,
