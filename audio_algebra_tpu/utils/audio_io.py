@@ -278,8 +278,18 @@ def load_audio(path: str, sr: int = 48000, verbose: bool = False) -> np.ndarray:
 
 
 def save_audio(path: str, audio, sample_rate: int) -> None:
-    """Clamp/convert and write 16-bit WAV (the reference's torchaudio.save use)."""
-    write_wav(path, np.asarray(audio), sample_rate, subtype="pcm16")
+    """Write audio, format picked by extension (the reference's
+    torchaudio.save use): .wav -> 16-bit PCM, .flac -> the pure-Python
+    FLAC encoder, .ogg -> Vorbis via the native codec."""
+    ext = Path(str(path)).suffix.lower()
+    if ext == ".flac":
+        from .flac_write import write_flac
+
+        write_flac(path, np.asarray(audio), sample_rate)
+    elif ext in (".ogg", ".oga"):
+        encode_ogg(path, np.asarray(audio), sample_rate)
+    else:
+        write_wav(path, np.asarray(audio), sample_rate, subtype="pcm16")
 
 
 # ------------------------------------------------------------- chunking ---

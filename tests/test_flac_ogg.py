@@ -138,6 +138,15 @@ def test_decode_batch_dispatches_by_magic(tmp_path):
     assert np.max(np.abs(res[2][0] - x)) < 2.0 / 32768.0
 
 
+def test_save_audio_extension_dispatch(tmp_path):
+    x = _tone(2, n=9000)
+    for ext in ("wav", "flac", "ogg"):
+        p = str(tmp_path / f"out.{ext}")
+        audio_io.save_audio(p, x, 48000)
+        y, sr = audio_io.load_audio_raw(p)
+        assert sr == 48000 and y.shape[0] == 2
+
+
 def test_dataset_accepts_flac(tmp_path):
     from audio_algebra_tpu.datasets import AudioDataset
     for i in range(3):
