@@ -892,6 +892,11 @@ def _gn_impl(x: jnp.ndarray, scale: jnp.ndarray,
         # REDUCE, not a broadcast chain. Exact same numerics as the Pallas
         # apply (f32 math, tanh-GELU). AA_GN_XLA_APPLY=1 forces it at any
         # batch, =0 disables entirely (restoring the Pallas apply).
+        # MEASURED NEGATIVE at small batch: forcing it at MIRAGE's B=4
+        # collapsed generation 6.16 -> 2.93x realtime — below b=16 XLA
+        # re-lays the normalise chain time-minor around the per-batch
+        # broadcast instead of fusing it, reintroducing the layout
+        # ping-pong this kernel exists to kill. Do NOT lower the gate.
         # A/B CAVEATS: (1) this path only exists with AA_GN_XLA_STATS=1
         # (the default) — with Pallas stats (AA_GN_XLA_STATS=0) it is
         # silently ignored, there is no XLA apply off the Pallas-stats
