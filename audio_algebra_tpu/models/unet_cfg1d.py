@@ -321,13 +321,25 @@ class _UNetCore(nn.Module):
                            name="init_conv")
         h = _fold_conv(init_conv, refold(h), 7) if k_fold else init_conv(h)
 
+        # AA_LDM_REMAT=1: per-block gradient rematerialisation — store only
+        # block INPUTS on the forward pass and recompute block internals
+        # during the backward. Activation memory drops from O(all blocks) to
+        # O(one block), buying larger training batches for ~1 extra forward
+        # of FLOPs (the reference has no equivalent: torch keeps every
+        # activation and caps the GPU batch instead). Trace-time flag:
+        # training-only knob, no effect on inference numerics or params.
+        remat = os.environ.get("AA_LDM_REMAT", "0") == "1"
+        Res = nn.remat(ResnetBlock) if remat else ResnetBlock
+        Attn = nn.remat(TransformerBlock, static_argnums=()) if remat \
+            else TransformerBlock
+
         def level(h, i, stage):
             feats = cfg.channels * cfg.multipliers[i]
             for j in range(cfg.num_blocks[i] if i < len(cfg.num_blocks) else 1):
-                h = ResnetBlock(feats, cfg.resnet_groups,
-                                name=f"{stage}_res{i}_{j}")(h, time_emb)
+                h = Res(feats, cfg.resnet_groups,
+                        name=f"{stage}_res{i}_{j}")(h, time_emb)
             for j in range(cfg.attentions[i]):
-                h = TransformerBlock(
+                h = Attn(
                     cfg.attention_heads, cfg.attention_features,
                     cfg.attention_multiplier,
                     cfg.attention_rel_pos_num_buckets,

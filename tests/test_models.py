@@ -254,6 +254,38 @@ def test_groupnorm_foldable_keeps_activation_dtype(monkeypatch):
     assert y2.dtype == jnp.bfloat16
 
 
+def test_unet_cfg1d_remat_flag(monkeypatch):
+    """AA_LDM_REMAT=1 (per-block gradient rematerialisation for larger
+    training batches) must be a pure memory/schedule knob: identical param
+    tree, bit-identical forward, and flowing gradients."""
+    net = UNetCFG1d(in_channels=4, channels=8, multipliers=(1, 2), factors=(2,),
+                    num_blocks=(1,), attentions=(0, 1), attention_heads=2,
+                    attention_features=4, context_embedding_features=16)
+    x = jnp.ones((2, 4, 32))
+    t = jnp.full((2,), 0.5)
+    emb = jax.random.normal(KEY, (2, 1, 16))
+
+    monkeypatch.setenv("AA_LDM_REMAT", "0")
+    params = net.init({"params": KEY}, x, t, embedding=emb)
+    y_plain = net.apply(params, x, t, embedding=emb)
+
+    monkeypatch.setenv("AA_LDM_REMAT", "1")
+    params_r = net.init({"params": KEY}, x, t, embedding=emb)
+    keys = [jax.tree_util.keystr(k)
+            for k, _ in jax.tree_util.tree_leaves_with_path(params)]
+    keys_r = [jax.tree_util.keystr(k)
+              for k, _ in jax.tree_util.tree_leaves_with_path(params_r)]
+    assert keys == keys_r                      # checkpoints interchangeable
+    y_remat = net.apply(params, x, t, embedding=emb)
+    np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_remat))
+
+    def loss(p):
+        return jnp.mean(net.apply(p, x, t, embedding=emb) ** 2)
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
 @pytest.mark.slow
 def test_dvae_tiny():
     dvae = DiffusionDVAE(latent_dim=8, capacity=4, c_mults=(2, 4), strides=(4, 2),

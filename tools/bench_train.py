@@ -247,13 +247,15 @@ def bench_clapdae_frozen_encode(batch: int, iters: int):
 
 def run_train_bench(quick: bool = False, clapdae_batch: int = 16,
                     mixer_batch: int = 128, iters: int = 3,
-                    skip_encode: bool = False):
+                    skip_encode: bool = False, only: str = ""):
     """Run all train benches, halving batch on OOM. Returns metric dicts."""
     results = []
     for name, fn, b in (
         ("clapdae", bench_clapdae_step, clapdae_batch),
         ("mixer", bench_mixer_step, mixer_batch),
     ):
+        if only and name != only:
+            continue
         while b >= 1:
             try:
                 results.append(fn(b, iters, quick))
@@ -268,7 +270,7 @@ def run_train_bench(quick: bool = False, clapdae_batch: int = 16,
                     print(f"# {name} train bench failed: {type(e).__name__}: "
                           f"{msg[:200]}", file=sys.stderr)
                     break
-    if not quick and not skip_encode:
+    if not quick and not skip_encode and only in ("", "encode"):
         try:
             results.append(bench_clapdae_frozen_encode(
                 max(clapdae_batch // 4, 1), iters))
@@ -285,6 +287,9 @@ def main():
     ap.add_argument("--mixer-batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--skip-encode", action="store_true")
+    ap.add_argument("--only", default="",
+                    choices=["", "clapdae", "mixer", "encode"],
+                    help="run a single bench (A/B experiments)")
     args = ap.parse_args()
 
     import jax
@@ -295,7 +300,8 @@ def main():
         pass
 
     for r in run_train_bench(args.quick, args.clapdae_batch,
-                             args.mixer_batch, args.iters, args.skip_encode):
+                             args.mixer_batch, args.iters, args.skip_encode,
+                             args.only):
         print(json.dumps(r))
 
 
