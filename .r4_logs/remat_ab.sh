@@ -1,0 +1,14 @@
+#!/bin/bash
+# Round-4 item 1: AA_LDM_REMAT A/B on the chip + largest-fit batch probe.
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH}
+L=/root/repo/.r4_logs/remat_ab.log
+echo "=== remat=0 B=16 (baseline) ===" >> $L
+AA_LDM_REMAT=0 timeout 1800 python tools/bench_train.py --only clapdae --clapdae-batch 16 --iters 5 --skip-encode >> $L 2>&1
+echo "=== remat=1 B=16 (overhead at same batch) ===" >> $L
+AA_LDM_REMAT=1 timeout 1800 python tools/bench_train.py --only clapdae --clapdae-batch 16 --iters 5 --skip-encode >> $L 2>&1
+echo "=== remat=1 B=64 (largest-fit probe, halves on OOM) ===" >> $L
+AA_LDM_REMAT=1 timeout 3600 python tools/bench_train.py --only clapdae --clapdae-batch 64 --iters 5 --skip-encode >> $L 2>&1
+echo "=== remat=0 B=32 (control: does 32 still OOM without remat?) ===" >> $L
+AA_LDM_REMAT=0 timeout 1800 python tools/bench_train.py --only clapdae --clapdae-batch 32 --iters 5 --skip-encode >> $L 2>&1
+echo "=== DONE ===" >> $L

@@ -33,14 +33,66 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None) -> str:
     return str(path)
 
 
-def load_checkpoint(path: str, target: Any = None) -> Any:
-    """Restore a pytree saved by save_checkpoint."""
+def _arraylike(x: Any) -> bool:
+    return hasattr(x, "shape") and hasattr(x, "dtype")
+
+
+def load_checkpoint(path: str, target: Any = None,
+                    sharding: Any = None) -> Any:
+    """Restore a pytree saved by save_checkpoint — topology-robustly.
+
+    The restore NEVER relies on the sharding recorded in the checkpoint
+    file (orbax's sharding-from-file is unsafe when the device topology
+    differs between save and restore — e.g. saved on an 8-chip mesh,
+    resumed on 1 chip). Instead:
+
+      * ``sharding=None`` (default): every array leaf restores as host
+        numpy; callers place it on their own mesh (the trainers use
+        ``parallel.train.replicate_state``).
+      * ``sharding=<jax.sharding.Sharding>`` or a pytree of shardings
+        matching ``target``: array leaves restore directly as jax.Arrays
+        with that EXPLICIT sharding on the current mesh (orbax reshards
+        from however many hosts/devices wrote the file).
+
+    Non-array leaves (step counters, schedule scalars) restore as saved.
+    """
     import orbax.checkpoint as ocp
 
+    path = Path(os.path.expanduser(path)).resolve()
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(Path(os.path.expanduser(path)).resolve(),
-                             item=target)
-    return restored
+
+    if target is None:
+        # Metadata-driven numpy restore: build explicit RestoreArgs from the
+        # checkpoint's own metadata so no file sharding is ever consulted.
+        try:
+            meta = ckptr.metadata(path)
+            # orbax >= 0.11 wraps the per-leaf metadata: StepMetadata ->
+            # .item_metadata (TreeMetadata) -> .tree (the actual pytree)
+            tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+            restore_args = jax.tree_util.tree_map(
+                lambda m: ocp.RestoreArgs(restore_type=np.ndarray)
+                if _arraylike(m) else ocp.RestoreArgs(), tree)
+            return ckptr.restore(path, restore_args=restore_args)
+        except Exception:
+            return ckptr.restore(path)
+
+    if sharding is not None:
+        def args_of(leaf, shard):
+            if _arraylike(leaf):
+                return ocp.ArrayRestoreArgs(sharding=shard,
+                                            restore_type=jax.Array)
+            return ocp.RestoreArgs()
+        if isinstance(sharding, jax.sharding.Sharding):
+            restore_args = jax.tree_util.tree_map(
+                lambda l: args_of(l, sharding), target)
+        else:
+            restore_args = jax.tree_util.tree_map(args_of, target, sharding)
+        return ckptr.restore(path, item=target, restore_args=restore_args)
+
+    restore_args = jax.tree_util.tree_map(
+        lambda l: ocp.RestoreArgs(restore_type=np.ndarray)
+        if _arraylike(l) else ocp.RestoreArgs(), target)
+    return ckptr.restore(path, item=target, restore_args=restore_args)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -283,3 +283,89 @@ def test_clap_load_ckpt_fallback(capsys):
                       text_cfg=dict(**TINY_TEXT_CFG))
     clap.load_ckpt(ckpt="/nonexistent/path.pt", verbose=True)
     assert "random weights" in capsys.readouterr().out
+
+
+# ----------------------------------------- topology-robust checkpointing ---
+# Reference role: Lightning resume (train_aa_mixer.py:141,160) never changes
+# world size mid-run; here a checkpoint written on an 8-device mesh must
+# restore on 1 device or any other mesh shape. load_checkpoint never reads
+# orbax's sharding-from-file (unsafe across topology changes): restores are
+# either host-numpy or explicitly-sharded.
+
+def _sharded_state(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    w = jnp.arange(64.0).reshape(8, 8)
+    b = jnp.arange(8.0)
+    return {
+        "params": {
+            "w": jax.device_put(w, NamedSharding(mesh, P("data", None))),
+            "b": jax.device_put(b, NamedSharding(mesh, P())),
+        },
+        "step": 7,
+    }
+
+
+def _assert_no_sharding_from_file(recwarn):
+    bad = [w for w in recwarn.list
+           if "sharding" in str(w.message).lower()
+           and ("file" in str(w.message).lower()
+                or "topology" in str(w.message).lower())]
+    assert not bad, f"sharding-from-file warning raised: {bad}"
+
+
+def test_topology_save8_restore_numpy(tmp_path, recwarn):
+    """8-device-sharded save -> default (numpy) restore, warning-free."""
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    state = _sharded_state(mesh)
+    path = save_checkpoint(str(tmp_path / "ck"), state, step=7)
+    restored = load_checkpoint(path, jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, state))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(64.0).reshape(8, 8))
+    assert isinstance(restored["params"]["w"], np.ndarray)
+    assert int(restored["step"]) == 7
+    _assert_no_sharding_from_file(recwarn)
+
+
+def test_topology_save8_restore_1device(tmp_path, recwarn):
+    """8-device-sharded save -> explicit single-device restore."""
+    from jax.sharding import Mesh, SingleDeviceSharding
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    state = _sharded_state(mesh)
+    path = save_checkpoint(str(tmp_path / "ck"), state, step=7)
+    one = SingleDeviceSharding(jax.devices()[0])
+    restored = load_checkpoint(path, state, sharding=one)
+    w = restored["params"]["w"]
+    assert isinstance(w, jax.Array) and w.sharding == one
+    np.testing.assert_array_equal(np.asarray(w),
+                                  np.arange(64.0).reshape(8, 8))
+    _assert_no_sharding_from_file(recwarn)
+
+
+def test_topology_save8_restore_different_mesh(tmp_path, recwarn):
+    """8-device save -> restore onto a (4,2) mesh with different specs."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh8 = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    state = _sharded_state(mesh8)
+    path = save_checkpoint(str(tmp_path / "ck"), state, step=7)
+
+    mesh42 = Mesh(np.array(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    shardings = {
+        "params": {
+            "w": NamedSharding(mesh42, P("dp", "tp")),   # resharded 2-D
+            "b": NamedSharding(mesh42, P()),             # replicated
+        },
+        "step": None,   # non-array leaf: placeholder, ignored
+    }
+    restored = load_checkpoint(path, state, sharding=shardings)
+    w = restored["params"]["w"]
+    assert isinstance(w, jax.Array)
+    assert w.sharding.is_equivalent_to(
+        NamedSharding(mesh42, P("dp", "tp")), w.ndim)
+    np.testing.assert_array_equal(np.asarray(w),
+                                  np.arange(64.0).reshape(8, 8))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["b"]),
+                                  np.arange(8.0))
+    assert int(restored["step"]) == 7
+    _assert_no_sharding_from_file(recwarn)

@@ -110,3 +110,37 @@ def test_tokenize_uses_engine_when_assets_present(tmp_path, monkeypatch):
         np.testing.assert_array_equal(ids, want)
     finally:
         clap_mod._bpe_engine.cache_clear()
+
+
+# ---------------------------------------------------------------- vendoring
+# tools/fetch_tokenizer.py: the network fetch can't run here (zero egress),
+# but the integrity layer — SHA-256 trust-on-first-use pinning and the
+# structural validator — is pure local logic.
+
+def _load_fetch_tool():
+    import importlib.util
+    import pathlib
+    p = pathlib.Path(__file__).resolve().parents[1] / "tools" / "fetch_tokenizer.py"
+    spec = importlib.util.spec_from_file_location("fetch_tokenizer", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fetch_tokenizer_pins_roundtrip(tmp_path):
+    ft = _load_fetch_tool()
+    (tmp_path / "vocab.json").write_text('{"x": 1}')
+    (tmp_path / "merges.txt").write_text("#version: 0.2\na b\n")
+    ft.verify_pins(tmp_path, write_if_missing=True)       # first fetch: pin
+    assert (tmp_path / "SHA256SUMS").is_file()
+    ft.verify_pins(tmp_path, write_if_missing=False)      # re-verify: green
+    (tmp_path / "vocab.json").write_text('{"x": 2}')      # tamper
+    with pytest.raises(SystemExit, match="SHA-256 mismatch"):
+        ft.verify_pins(tmp_path, write_if_missing=False)
+
+
+def test_fetch_tokenizer_rejects_non_roberta_vocab(tmp_path):
+    ft = _load_fetch_tool()
+    _make_assets(tmp_path)   # structurally valid BPE pair, but not roberta-base
+    with pytest.raises(SystemExit, match="50265"):
+        ft.validate_structure(tmp_path)

@@ -93,21 +93,25 @@ def main():
     # the restart (Lightning resume restores optimizer state too).
     start_step = 0
     if args.ckpt_path:
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = NamedSharding(mesh, PartitionSpec())  # explicit: topology-robust
         ck = latest_checkpoint(args.ckpt_path) or args.ckpt_path
         try:
             restored = load_checkpoint(
                 ck, {"params": aa.params, "step": 0,
-                     "opt_state": jax.device_get(opt_state_template)})
-            params = replicate_state(restored["params"], mesh)
+                     "opt_state": jax.device_get(opt_state_template)},
+                sharding=repl)
+            params = restored["params"]
             if restored.get("opt_state") is not None:
-                opt_state = replicate_state(restored["opt_state"], mesh)
+                opt_state = restored["opt_state"]
             start_step = int(restored["step"])
             print(f"Resumed from {ck} at step {start_step}")
         except Exception as e:
             # older checkpoints have no opt_state entry — restore params only
             try:
-                restored = load_checkpoint(ck, {"params": aa.params, "step": 0})
-                params = replicate_state(restored["params"], mesh)
+                restored = load_checkpoint(ck, {"params": aa.params, "step": 0},
+                                           sharding=repl)
+                params = restored["params"]
                 start_step = int(restored["step"])
                 print(f"Resumed (params only, no opt_state) from {ck} "
                       f"at step {start_step}")

@@ -113,13 +113,17 @@ def main():
     if args.ckpt_path:
         ck = latest_checkpoint(args.ckpt_path) or args.ckpt_path
         try:
+            # Explicit-sharding restore: arrays land replicated on THIS
+            # run's mesh regardless of the topology that wrote the file
+            # (orbax's sharding-from-file is never consulted).
             restored = load_checkpoint(
                 ck, {"params": jax.device_get(params),
                      "ema_params": jax.device_get(ema_params),
-                     "opt_state": jax.device_get(opt_state), "step": 0})
-            params = replicate_state(restored["params"], mesh)
-            ema_params = replicate_state(restored["ema_params"], mesh)
-            opt_state = replicate_state(restored["opt_state"], mesh)
+                     "opt_state": jax.device_get(opt_state), "step": 0},
+                sharding=repl)
+            params = restored["params"]
+            ema_params = restored["ema_params"]
+            opt_state = restored["opt_state"]
             start_step = int(restored["step"])
             print(f"Resumed from {ck} at step {start_step}")
         except Exception as e:
