@@ -23,13 +23,33 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import Conv1d
+
+
+class TransposedBias(NamedTuple):
+    """A hoisted rel-pos bias stored TRANSPOSED — (H, S, T) — for the
+    flash kernels (whose score tiles are (kv, q)-oriented). An explicit
+    wrapper, not a convention: RelPosSelfAttention dispatches on the type,
+    so a plain (H, T, S) array can never be fed to the kernel in the
+    wrong orientation. NamedTuple = transparent pytree (rides through
+    jit/scan as a leaf container)."""
+    arr: jnp.ndarray
+
+
+def _serving_flash_bias(t: int) -> bool:
+    """Shared hoist-time gate: store a site's bias transposed iff the
+    serving flash path will consume it (same predicate as the module)."""
+    from ..ops.pallas.flash_attention import flash_ok
+    mode = os.environ.get("AA_FLASH_ATTN", "auto")
+    on_tpu = jax.default_backend() not in ("cpu",)
+    return flash_ok(t) and (
+        mode in ("1", "interpret") or (mode == "auto" and on_tpu))
 
 
 def sinusoidal_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
@@ -105,7 +125,8 @@ def _relative_position_bucket(rel_pos, num_buckets: int, max_distance: int):
 
 
 def toeplitz_rel_pos_bias(bias_table: jnp.ndarray, t: int,
-                          num_buckets: int, max_distance: int) -> jnp.ndarray:
+                          num_buckets: int, max_distance: int,
+                          transposed: bool = False) -> jnp.ndarray:
     """(num_buckets, H) bucket table -> (H, T, T) rel-pos bias by the
     pad-reshape "skew" trick. The bias is Toeplitz: bias[t,s] =
     table[bucket(s-t)] depends on s-t only, so gather just the (2T-1, H)
@@ -116,6 +137,12 @@ def toeplitz_rel_pos_bias(bias_table: jnp.ndarray, t: int,
     layout. Module-level so the parity test pins THIS code path."""
     heads = bias_table.shape[1]
     delta = jnp.arange(-(t - 1), t)                       # rel = s - t
+    if transposed:
+        # the TRANSPOSE bias[s, t] via the same skew: flipping the diagonal
+        # profile's delta sign gives M[r, c] = table[bucket(r - c)] — used
+        # by the flash training kernels, whose score tiles live in (kv, q)
+        # orientation so every softmax statistic is a lane-wise row vector
+        delta = -delta
     dbuckets = _relative_position_bucket(delta, num_buckets, max_distance)
     diag = bias_table[dbuckets]                           # (2T-1, H)
     if os.environ.get("AA_RELPOS_MODE", "skew") == "gather":
@@ -148,16 +175,81 @@ class RelPosSelfAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False)(h).reshape(b, t, self.heads, self.head_features)
         v = nn.Dense(inner, use_bias=False)(h).reshape(b, t, self.heads, self.head_features)
         scale = self.head_features ** -0.5
-        att = jnp.einsum("bthd,bshd->bhts", q * scale, k,
-                         preferred_element_type=jnp.float32)
         bias_table = self.param("rel_pos_bias", nn.initializers.normal(0.02),
                                 (self.num_buckets, self.heads))
-        if bias is None:
+        bias_provided = bias is not None
+
+        # Differentiable flash path for TRAINING (AA_TRAIN_FLASH=1): the
+        # custom-VJP blocked kernels never materialise the (B,H,T,S)
+        # scores in forward OR backward — at batch 16/T=1024 the XLA path
+        # burns ~1 GB of HBM round-trips per site per direction, and its
+        # stored/rematerialised scores are what OOM batch 32
+        # (.r4_logs/remat_ab3.log). d(bucket-table) flows through the
+        # transposed toeplitz construction's own autodiff.
+        tmode = os.environ.get("AA_TRAIN_FLASH", "0")
+        if not bias_provided and tmode in ("1", "interpret"):
+            from ..ops.pallas.flash_attention import (
+                flash_attention_relpos_train, flash_train_ok)
+            if flash_train_ok(t):
+                biasT = toeplitz_rel_pos_bias(
+                    bias_table, t, self.num_buckets, self.max_distance,
+                    transposed=True).astype(x.dtype)
+                qh = jnp.swapaxes(q, 1, 2)
+                kh = jnp.swapaxes(k, 1, 2)
+                vh = jnp.swapaxes(v, 1, 2)
+                yh = flash_attention_relpos_train(
+                    qh, kh, vh, biasT, scale, 512, tmode == "interpret")
+                y = jnp.swapaxes(yh, 1, 2).reshape(b, t, inner)
+                return x + nn.Dense(c)(y)
+
+        # Blocked (flash) serving path at long T: never materialises the
+        # (B,H,T,S) f32 scores in HBM — at the 66 s window's T=3072 one
+        # site's scores are ~1.2 GB/step; see ops/pallas/flash_attention.py
+        # (measured on the chip: 12.6 -> 4.0 ms/call at (2,16,3072,64)).
+        # FORWARD-ONLY: under "auto" it engages only when the caller passed
+        # a hoisted TRANSPOSED bias — precompute_rel_biases marks flash-
+        # eligible sites with TransposedBias, so training's grad traces
+        # (bias=None) always take a differentiable path and the bias
+        # orientation can never silently mismatch. AA_FLASH_ATTN: "auto"
+        # (default), "0" (off), "1" (force), "interpret" (CPU tests).
+        from ..ops.pallas.flash_attention import (flash_attention_relpos,
+                                                  flash_ok)
+        mode = os.environ.get("AA_FLASH_ATTN", "auto")
+        use_flash = flash_ok(t) and (
+            mode == "1" or mode == "interpret"
+            or (mode == "auto" and isinstance(bias, TransposedBias)))
+        if use_flash:
+            if isinstance(bias, TransposedBias):
+                biasT = bias.arr.astype(x.dtype)
+            elif bias is None:
+                biasT = toeplitz_rel_pos_bias(
+                    bias_table, t, self.num_buckets, self.max_distance,
+                    transposed=True).astype(x.dtype)
+            else:
+                # forced modes handed a plain (H, T, S) bias (tests)
+                biasT = jnp.swapaxes(bias, 1, 2).astype(x.dtype)
+            qh = jnp.swapaxes(q, 1, 2)                    # (B, H, T, D)
+            kh = jnp.swapaxes(k, 1, 2)
+            vh = jnp.swapaxes(v, 1, 2)
+            yh = flash_attention_relpos(
+                qh, kh, vh, biasT, sm_scale=scale,
+                interpret=(mode == "interpret"))
+            y = jnp.swapaxes(yh, 1, 2).reshape(b, t, inner)
+            return x + nn.Dense(c)(y)
+
+        if isinstance(bias, TransposedBias):
+            # platform/env changed between hoist and apply — correctness
+            # fallback, costs one transpose
+            bias = jnp.swapaxes(bias.arr, 1, 2)
+        elif bias is None:
             # serving: precompute_rel_biases hoists this out of the
             # sampler loop (loop-invariant; the skew chain otherwise
             # re-runs all 150 steps)
             bias = toeplitz_rel_pos_bias(bias_table, t, self.num_buckets,
                                          self.max_distance)
+
+        att = jnp.einsum("bthd,bshd->bhts", q * scale, k,
+                         preferred_element_type=jnp.float32)
         att = att + bias[None]
         att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
         y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, inner)
@@ -482,7 +574,8 @@ class UNetCFG1d(nn.Module):
         return core(x, t, context, rel_biases, fold=pick(b))
 
 
-def precompute_rel_biases(model: "UNetCFG1d", params, t_len: int):
+def precompute_rel_biases(model: "UNetCFG1d", params, t_len: int,
+                          dtype=None):
     """Every RelPosSelfAttention site's (H, T, S) bias, built ONCE from
     the param tree — keyed by the site's TransformerBlock module name.
 
@@ -502,9 +595,18 @@ def precompute_rel_biases(model: "UNetCFG1d", params, t_len: int):
         for j in range(model.attentions[i]):
             name = f"{stage}_attn{i}_{j}"
             table = core[name]["RelPosSelfAttention_0"]["rel_pos_bias"]
-            out[name] = toeplitz_rel_pos_bias(
+            # flash-eligible sites hoist the bias PRE-TRANSPOSED (and
+            # type-marked) — the kernel's tiles are (kv, q)-oriented and a
+            # per-step 600 MB transpose inside the sampler would eat the
+            # win. Cast done HERE (not in-step) for the same reason: bf16
+            # halves the kernel's only remaining large HBM read.
+            flashy = _serving_flash_bias(t_i)
+            bias = toeplitz_rel_pos_bias(
                 table, t_i, model.attention_rel_pos_num_buckets,
-                model.attention_rel_pos_max_distance)
+                model.attention_rel_pos_max_distance, transposed=flashy)
+            if dtype is not None:
+                bias = bias.astype(dtype)
+            out[name] = TransposedBias(bias) if flashy else bias
 
     n_levels = len(model.multipliers)
     t_i = t_len

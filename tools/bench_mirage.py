@@ -25,6 +25,11 @@ def main():
                     help="bf16 = the app's serving default (half)")
     ap.add_argument("--model-len", default="22s", choices=["22s", "66s"],
                     help="generation window (reference given_models.py:696-698)")
+    ap.add_argument("--compare-turbo", action="store_true",
+                    help="after the main timing, re-run the SAME-seed "
+                         "generation with AA_TURBO_INT8=1 (the folded int8 "
+                         "on-ramp at small batch) and report realtime + "
+                         "rel RMS vs the bf16 output")
     args = ap.parse_args()
 
     import jax
@@ -43,19 +48,26 @@ def main():
     def fetch(v):
         return float(jnp.abs(jnp.ravel(v)[:8]).sum())
 
-    t0 = time.time()
-    fakes, _ = w.generate(emb, demo_steps=args.inner_steps,
-                          outer_steps=args.outer_steps,
-                          batch_size=args.batch)
-    fetch(fakes)
-    compile_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(args.iters):
-        fakes, _ = w.generate(emb, demo_steps=args.inner_steps,
-                              outer_steps=args.outer_steps,
-                              batch_size=args.batch)
-        fetch(fakes)
-    dt = (time.time() - t0) / args.iters
+    def timed(seed=1234):
+        """One compile pass + timed iters, each generate from a FIXED key
+        so precision configs draw identical noise (comparable outputs)."""
+        w._key = jax.random.PRNGKey(seed)
+        t0 = time.time()
+        out, _ = w.generate(emb, demo_steps=args.inner_steps,
+                            outer_steps=args.outer_steps,
+                            batch_size=args.batch)
+        fetch(out)
+        comp = time.time() - t0
+        t0 = time.time()
+        for _ in range(args.iters):
+            w._key = jax.random.PRNGKey(seed)
+            out, _ = w.generate(emb, demo_steps=args.inner_steps,
+                                outer_steps=args.outer_steps,
+                                batch_size=args.batch)
+            fetch(out)
+        return (time.time() - t0) / args.iters, comp, out
+
+    dt, compile_s, fakes = timed()
 
     audio_sec = args.batch * w.sample_size / 48000
     st = getattr(w, "last_stage_times", None)
@@ -81,6 +93,27 @@ def main():
     print(f"# batch={args.batch} sample_size={w.sample_size} "
           f"inner={args.inner_steps} outer={args.outer_steps}",
           file=sys.stderr)
+
+    if args.compare_turbo and os.environ.get("AA_TURBO_INT8") != "1":
+        os.environ["AA_TURBO_INT8"] = "1"
+        try:
+            dt_t, compile_t, fakes_t = timed()
+        finally:
+            os.environ.pop("AA_TURBO_INT8", None)
+        rt_t = audio_sec / dt_t
+        err = float(jnp.sqrt(
+            jnp.mean(jnp.square(fakes_t.astype(jnp.float32)
+                                - fakes.astype(jnp.float32)))
+            / jnp.maximum(jnp.mean(jnp.square(fakes.astype(jnp.float32))),
+                          1e-12)))
+        print(json.dumps({
+            "metric": f"mirage_generate_rt_{args.inner_steps}i_"
+                      f"{args.outer_steps}o_{args.dtype}_turboint8"
+                      + ("_66s" if args.model_len == "66s" else ""),
+            "value": round(rt_t, 2), "unit": "x_realtime_per_chip",
+            "note": f"{dt_t:.1f}s per {audio_sec:.1f}s of audio; "
+                    f"compile {compile_t:.0f}s; rel RMS vs bf16 same-seed "
+                    f"output {err:.4f}"}))
 
 
 if __name__ == "__main__":

@@ -118,7 +118,8 @@ def build_target(model: str, batch: int, dtype_str: str):
     raise SystemExit(f"unknown --model {model}")
 
 
-def build_loop(model: str, batch: int, dtype_str: str, steps: int):
+def build_loop(model: str, batch: int, dtype_str: str, steps: int,
+               model_len: str = "22s"):
     """A sampler loop target for `trace --steps N` (the in-loop program
     is what production runs; its op accounting can differ from the
     standalone forward)."""
@@ -134,11 +135,17 @@ def build_loop(model: str, batch: int, dtype_str: str, steps: int):
         return (lambda: vddim_sample(lambda a, b, c: fn(params, a, b, c),
                                      x, steps, 0, cond, key=key), meta)
     w = CLAPDAE(debug=False)
-    w._ensure_params()
+    w.setup(gdrive=False, model_len=model_len)
+    if dtype_str == "bf16":
+        w.half()
+    # latent frames for the window: 22 s -> 2048, 66 s -> 6144
+    n_lat = w.demo_samples // w.downsampling_ratio
     if model == "ldm":
         import os
         emb = jax.random.normal(key, (batch, 1, 512))
-        z = jax.random.normal(key, (batch, w.latent_dim, 2048))
+        z = jax.random.normal(key, (batch, w.latent_dim, n_lat))
+        if dtype_str == "bf16":
+            emb, z = emb.astype(jnp.bfloat16), z.astype(jnp.bfloat16)
 
         def loop():
             rb = None
@@ -157,8 +164,12 @@ def build_loop(model: str, batch: int, dtype_str: str, steps: int):
     if model == "outer":
         from audio_algebra_tpu.models.stacked import \
             LatentAudioDiffusionAutoencoder
-        noise = jax.random.normal(key, (batch, 32, 32768))
-        cond = jnp.clip(jax.random.normal(key, (batch, 32, 2048)), -1, 1)
+        r1 = w.latent_diffae.latent_downsampling_ratio
+        noise = jax.random.normal(key, (batch, 32, n_lat * r1))
+        cond = jnp.clip(jax.random.normal(key, (batch, 32, n_lat)), -1, 1)
+        if dtype_str == "bf16":
+            noise = noise.astype(jnp.bfloat16)
+            cond = cond.astype(jnp.bfloat16)
         s1 = lambda a, b, c: w.latent_diffae.apply(
             w.diffae_params, a, b, c,
             method=LatentAudioDiffusionAutoencoder.diffusion_v)
@@ -238,7 +249,8 @@ def cmd_trace(args):
     import jax.numpy as jnp
 
     if args.steps:
-        run, _ = build_loop(args.model, args.batch, args.dtype, args.steps)
+        run, _ = build_loop(args.model, args.batch, args.dtype, args.steps,
+                            getattr(args, "model_len", "22s"))
     else:
         fn, fargs, _ = build_target(args.model, args.batch, args.dtype)
         jfn = jax.jit(fn)
@@ -324,6 +336,8 @@ def main():
     tr.add_argument("--steps", type=int, default=0,
                     help="trace an N-step sampler loop instead of one fwd")
     tr.add_argument("--reps", type=int, default=2)
+    tr.add_argument("--model-len", default="22s", choices=["22s", "66s"],
+                    help="generation window for ldm/outer loop targets")
     tr.set_defaults(func=cmd_trace)
 
     lv = sub.add_parser("levels", help="per-level decode-UNet cost")
