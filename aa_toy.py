@@ -67,7 +67,8 @@ def train_toy(steps: int = 2000, batch: int = 256, hidden: int = 64,
             return z, self.decode(z)
 
     model = ToyAA(hidden=hidden)
-    key = jax.random.PRNGKey(seed)
+    from audio_algebra_tpu.utils.prng import host_key
+    key = host_key(seed)
     params = model.init(key, jnp.zeros((1, 2)))
 
     def loss_fn(p, a, b, fa, fb):

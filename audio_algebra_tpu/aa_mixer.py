@@ -106,7 +106,8 @@ class AABundle:
                  resid: bool = True, trivial: bool = False, seed: int = 0):
         self.module = AudioAlgebra(dims=dims, hidden_dims=hidden_dims,
                                    use_bn=use_bn, resid=resid, trivial=trivial)
-        key = jax.random.PRNGKey(seed)
+        from .utils.prng import host_key
+        key = host_key(seed)
         self.params = self.module.init(key, jnp.zeros((1, dims, 4)))
         self._fwd = jax.jit(self.module.apply)
         self._enc = jax.jit(lambda p, x: self.module.apply(p, x, method=AudioAlgebra.encode))

@@ -62,12 +62,16 @@ class GivenModelClass:
         self.ckpt_dir = os.path.expanduser('~/checkpoints')
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.debug = False
-        self._key = jax.random.PRNGKey(seed)
+        from .utils.prng import host_key
+        self._key = host_key(seed)
         self._jit_cache: dict = {}
 
     # -- PRNG plumbing (replaces torch global RNG state) --
-    def next_key(self) -> jax.Array:
-        self._key, sub = jax.random.split(self._key)
+    def next_key(self):
+        # host-side split (utils/prng.py): an eager on-relay key op costs
+        # minutes on axon; the CPU-backend threefry is bit-identical
+        from .utils.prng import host_split
+        self._key, sub = host_split(self._key)
         return sub
 
     def _cached_jit(self, name: str, fn):
@@ -856,9 +860,15 @@ class CLAPDAE(GivenModelClass):
         Returns self. Measured: the f32 stages ran the outer UNet convs
         at ~30 TF/s — a quarter of the bf16 conv rate."""
         def cast(tree):
-            return jax.tree_util.tree_map(
+            # one jitted program for the whole tree: ~1,400 EAGER per-leaf
+            # casts over the axon relay measured 31.6 s; one compiled
+            # donate-input cast program is sub-second and frees the f32
+            # copies as it goes
+            f = jax.jit(lambda t: jax.tree_util.tree_map(
                 lambda a: a.astype(dtype)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, t),
+                donate_argnums=0)
+            return f(tree)
         self._ensure_params()
         self.ldm_params = cast(self.ldm_params)
         self.diffae_params = cast(self.diffae_params)

@@ -747,7 +747,8 @@ class CLAPModule:
         self.text_cfg = ClapTextCfg(**t)
         self.audio_model = ClapAudioEmbedder(self.audio_cfg)
         self.text_model = ClapTextEmbedder(self.text_cfg)
-        self._key = jax.random.PRNGKey(seed)
+        from ..utils.prng import host_key
+        self._key = host_key(seed)
         self.audio_params = None
         self.text_params = None
         self._audio_jit = None
@@ -773,7 +774,8 @@ class CLAPModule:
         if self.audio_params is None:
             from ..utils.params import fast_random_params
 
-            k1, k2, self._key = jax.random.split(self._key, 3)
+            from ..utils.prng import host_split
+            k1, k2, self._key = host_split(self._key, 3)
             feats = audio_to_input_features(jnp.zeros((1, 256)), self.audio_cfg)
             # shape-only init + host-side fill: an eager flax .init of
             # HTSAT-base is thousands of individual dispatches over the

@@ -396,7 +396,8 @@ class MirageService:
             with self.lock:
                 if seed >= 0:
                     import jax
-                    self.model._key = jax.random.PRNGKey(seed)
+                    from .utils.prng import host_key
+                    self.model._key = host_key(seed)
                 fakes, _ = self.model.generate(
                     emb, cfg_scales=cfg_scale, demo_steps=steps,
                     outer_steps=outer_steps, batch_size=batch_size,

@@ -24,12 +24,15 @@ def fast_random_params(model, rng_or_seed, *args, dtype=jnp.float32, **kwargs) -
         # seeded differently get different random init (seed used to
         # silently fall back to 0 for key/rngs-dict callers)
         try:
+            if isinstance(key, np.ndarray):     # host key (utils/prng.py)
+                return int(key.ravel()[-1])
             return int(np.asarray(jax.random.key_data(key)).ravel()[-1])
         except Exception:
             return 0
 
     if isinstance(rng_or_seed, int):
-        rngs = {"params": jax.random.PRNGKey(rng_or_seed)}
+        from .prng import host_key
+        rngs = {"params": host_key(rng_or_seed)}
         seed = rng_or_seed
     elif isinstance(rng_or_seed, dict):
         rngs = rng_or_seed

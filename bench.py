@@ -83,7 +83,8 @@ def main():
     params = fast_random_params(model, 0, jnp.zeros((1, 2, args.sample_size)),
                                 jnp.zeros((1,)))
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
-    noise = jax.random.normal(jax.random.PRNGKey(1),
+    from audio_algebra_tpu.utils.prng import host_key
+    noise = jax.random.normal(host_key(1),
                               (args.batch, 2, args.sample_size), dtype)
 
     def make_pipeline(steps):

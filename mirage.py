@@ -101,7 +101,8 @@ def process_audio(audio_tups: Sequence = (), text_prompts: Sequence[str] = (),
                             **(model_kwargs or {}))
 
     if seed >= 0:
-        model._key = jax.random.PRNGKey(seed)
+        from audio_algebra_tpu.utils.prng import host_key
+        model._key = host_key(seed)
 
     # 1. embed every input (reference :363-368)
     embeddings = []

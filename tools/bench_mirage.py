@@ -43,7 +43,8 @@ def main():
     if args.dtype == "bf16":
         w.half()
 
-    emb = jax.random.normal(jax.random.PRNGKey(0), (args.batch, 1, 512))
+    from audio_algebra_tpu.utils.prng import host_key
+    emb = jax.random.normal(host_key(0), (args.batch, 1, 512))
 
     def fetch(v):
         return float(jnp.abs(jnp.ravel(v)[:8]).sum())
@@ -51,7 +52,7 @@ def main():
     def timed(seed=1234):
         """One compile pass + timed iters, each generate from a FIXED key
         so precision configs draw identical noise (comparable outputs)."""
-        w._key = jax.random.PRNGKey(seed)
+        w._key = host_key(seed)
         t0 = time.time()
         out, _ = w.generate(emb, demo_steps=args.inner_steps,
                             outer_steps=args.outer_steps,
@@ -60,7 +61,7 @@ def main():
         comp = time.time() - t0
         t0 = time.time()
         for _ in range(args.iters):
-            w._key = jax.random.PRNGKey(seed)
+            w._key = host_key(seed)
             out, _ = w.generate(emb, demo_steps=args.inner_steps,
                                 outer_steps=args.outer_steps,
                                 batch_size=args.batch)

@@ -109,7 +109,8 @@ def bench_clapdae_step(batch: int, iters: int, quick: bool):
     emb = jnp.asarray(rng.standard_normal((batch, 1, 512)), jnp.float32)
     t = jnp.asarray(rng.uniform(0, 1, (batch,)), jnp.float32)
     noise = jnp.asarray(rng.standard_normal(lat_shape), jnp.float32)
-    key = jax.random.PRNGKey(1)
+    from audio_algebra_tpu.utils.prng import host_key
+    key = host_key(1)
 
     flops = _flops_of(jitted, params, ema_params, opt_state, 0,
                       latents, emb, t, noise, key)

@@ -132,7 +132,8 @@ def main():
     logger = RunLogger(project='clapdae', name=args.name,
                        config=args.to_dict())
     sobol = SobolSampler(dim=1, scramble=True, seed=seed)
-    key = jax.random.PRNGKey(seed)
+    from audio_algebra_tpu.utils.prng import host_key
+    key = host_key(seed)
     max_epochs = getattr(args, 'max_epochs', 40)
     step = start_step
 
