@@ -858,7 +858,14 @@ class CLAPDAE(GivenModelClass):
         CLAP embedder stays f32 (one forward per prompt; its cost is
         irrelevant and text/audio embedding parity is bit-sensitive).
         Returns self. Measured: the f32 stages ran the outer UNet convs
-        at ~30 TF/s — a quarter of the bf16 conv rate."""
+        at ~30 TF/s — a quarter of the bf16 conv rate.
+
+        NOTE: half() CONSUMES the f32 param buffers (the cast program
+        donates its input so the f32 copies are freed as it casts —
+        without donation both precisions coexist in HBM). Any reference
+        taken to `self.ldm_params` / `self.diffae_params` BEFORE calling
+        half() points at deleted buffers afterwards; snapshot params for
+        checkpointing only AFTER half(), or jax.device_get them first."""
         def cast(tree):
             # one jitted program for the whole tree: ~1,400 EAGER per-leaf
             # casts over the axon relay measured 31.6 s; one compiled

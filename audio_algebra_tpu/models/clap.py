@@ -612,6 +612,35 @@ def _bpe_engine():
     return RobertaBPE.from_assets()
 
 
+@functools.lru_cache(maxsize=1)
+def tokenizer_backend() -> tuple:
+    """Probe which text tokenizer `tokenize` will use, without tokenizing.
+
+    Returns (backend, reason): backend is "bpe" (exact in-repo engine over
+    vendored vocab.json+merges.txt), "hf-cache" (locally cached
+    RobertaTokenizerFast), or "byte-fallback" — in which case `reason`
+    says why and text embeddings are semantically DEGRADED (byte ids map
+    to rare-BPE rows; reference gets exact ids via laion_clap,
+    /root/reference/audio_algebra/given_models.py:592-605). Serving uses
+    this to fail loud at the API boundary instead of a stdout warning."""
+    reasons = []
+    try:
+        _bpe_engine()
+        return ("bpe", None)
+    except Exception as e:
+        reasons.append(f"bpe: {type(e).__name__}: {e}")
+    try:
+        from transformers import RobertaTokenizerFast
+        tok = RobertaTokenizerFast.from_pretrained("roberta-base",
+                                                   local_files_only=True)
+        if tok.convert_tokens_to_ids("<s>") != 0:
+            raise ValueError("cached tokenizer is not RoBERTa-compatible")
+        return ("hf-cache", None)
+    except Exception as e:
+        reasons.append(f"hf: {type(e).__name__}: {e}")
+    return ("byte-fallback", "; ".join(reasons))
+
+
 def tokenize(texts: Sequence[str], cfg: ClapTextCfg) -> np.ndarray:
     """list[str] -> (N, L) int32 RoBERTa-style ids.
 

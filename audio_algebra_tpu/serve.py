@@ -49,7 +49,14 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["MirageService", "make_server", "main"]
+__all__ = ["MirageService", "TokenizerUnavailable", "make_server", "main"]
+
+
+class TokenizerUnavailable(RuntimeError):
+    """Text prompt refused: no RoBERTa tokenizer assets and the service is
+    in strict-text mode (AA_STRICT_TEXT=1 / --strict-text). Maps to HTTP
+    409 with a remediation body — byte-fallback embeddings are
+    confidently-wrong audio, which a strict deployment must not serve."""
 
 
 def _sniff_suffix(data: bytes) -> str:
@@ -272,7 +279,8 @@ class MirageService:
 
     def __init__(self, model=None, model_choice: str = "22s",
                  half: bool = True, verbose: bool = True,
-                 batch_window_s: float = 0.0, max_batch: int = 8):
+                 batch_window_s: float = 0.0, max_batch: int = 8,
+                 strict_text: Optional[bool] = None):
         if model is None:
             from .embedding_math import get_model_ready
             model = get_model_ready(model_choice, verbose=verbose, half=half)
@@ -291,6 +299,37 @@ class MirageService:
         self.auth: Optional[tuple] = (user, pw) if user and pw else None
         self.batcher = (_MicroBatcher(self, batch_window_s, max_batch)
                         if batch_window_s > 0 else None)
+        # Text-prompt tokenizer status, probed once at startup: on an
+        # asset-less image text tokenization silently degrades to byte-level
+        # ids (see models/clap.py tokenize), which an HTTP client would never
+        # learn from a stdout warning. strict_text=True (or AA_STRICT_TEXT=1)
+        # refuses text prompts with 409; default surfaces a machine-readable
+        # warning on every affected response instead.
+        if strict_text is None:
+            strict_text = os.environ.get("AA_STRICT_TEXT", "0") == "1"
+        self.strict_text = strict_text
+        from .models.clap import tokenizer_backend
+        self.tokenizer_backend, self._tok_reason = tokenizer_backend()
+        if self.tokenizer_backend == "byte-fallback" and verbose:
+            print("serve: WARNING — no RoBERTa tokenizer assets; text "
+                  "prompts use byte-level fallback ids (degraded "
+                  "embeddings). Vendor assets with tools/fetch_tokenizer.py"
+                  + (" [strict: text prompts will be refused with 409]"
+                     if strict_text else ""))
+
+    def text_tokenizer_warning(self) -> Optional[str]:
+        """None when text tokenization is exact; otherwise the
+        machine-readable degradation notice (raises TokenizerUnavailable
+        under strict_text)."""
+        if self.tokenizer_backend != "byte-fallback":
+            return None
+        msg = ("text tokenizer unavailable: byte-level fallback ids in use "
+               "(text embeddings are semantically degraded). Vendor RoBERTa "
+               "vocab.json+merges.txt via tools/fetch_tokenizer.py or set "
+               "AA_ROBERTA_VOCAB.")
+        if self.strict_text:
+            raise TokenizerUnavailable(msg)
+        return msg
 
     def _count_request(self):
         with self._stats_lock:
@@ -334,6 +373,9 @@ class MirageService:
         texts = spec.get("text") or []
         if isinstance(texts, str):
             texts = [texts]
+        # strict mode refuses BEFORE any chip work; else carried into info
+        tok_warning = (self.text_tokenizer_warning()
+                       if any(t for t in texts) else None)
         embeddings = [np.asarray(e, np.float32).reshape(1, 1, -1)
                       for e in spec.get("embeddings") or []]
 
@@ -409,12 +451,16 @@ class MirageService:
         out = crossfade_flatten(np.asarray(fakes, np.float32))
         info = {"batch_size": int(spec.get("batch_size", 1)),
                 "samples": int(out.shape[-1]), "sample_rate": 48000}
+        if tok_warning:
+            info["tokenizer_warning"] = tok_warning
         return encode_wav(out, 48000), info
 
     def health(self) -> dict:
         h = {"ok": True, "model": self.model_choice,
              "sample_size": int(getattr(self.model, "sample_size", 0)),
-             "requests_served": self.requests_served}
+             "requests_served": self.requests_served,
+             "text_tokenizer": self.tokenizer_backend,
+             "strict_text": self.strict_text}
         if self.batcher is not None:
             h["batched_runs"] = self.batcher.batched_runs
             h["coalesced_requests"] = self.batcher.coalesced_requests
@@ -490,10 +536,15 @@ def _make_handler(service: MirageService):
                         # suffix sniffed from the bytes — Content-Type
                         # subtype lies often enough (audio/* file inputs)
                         emb = service.embed_audio_bytes(data)
+                        body = {"embedding": emb.tolist()}
                     else:
                         spec = json.loads(data or b"{}")
+                        warn = service.text_tokenizer_warning()  # may 409
                         emb = service.embed_text(str(spec["text"]))
-                    self._send_json(200, {"embedding": emb.tolist()})
+                        body = {"embedding": emb.tolist()}
+                        if warn:
+                            body["tokenizer_warning"] = warn
+                    self._send_json(200, body)
                 elif self.path == "/generate":
                     spec = json.loads(data or b"{}")
                     wav, info = service.generate_wav(spec)
@@ -505,6 +556,14 @@ def _make_handler(service: MirageService):
                     self.wfile.write(wav)
                 else:
                     self._send_json(404, {"error": f"no route {self.path}"})
+            except TokenizerUnavailable as e:
+                self._send_json(409, {
+                    "error": "text_tokenizer_unavailable",
+                    "detail": str(e),
+                    "fix": "vendor RoBERTa assets via "
+                           "tools/fetch_tokenizer.py (or AA_ROBERTA_VOCAB), "
+                           "or serve without --strict-text to accept "
+                           "degraded byte-fallback embeddings"})
             except (ValueError, KeyError) as e:
                 self._send_json(400, {"error": str(e)})
             except Exception as e:             # surface, don't kill the server
@@ -535,6 +594,11 @@ def main(argv: Optional[list] = None):
                         "concurrent same-config requests run as one batch")
     p.add_argument("--max-batch", type=int, default=8,
                    help="micro-batch cap (reference max variation batch)")
+    p.add_argument("--strict-text", action="store_true",
+                   help="refuse text prompts with 409 when no exact "
+                        "RoBERTa tokenizer assets are present (default: "
+                        "serve with a tokenizer_warning in responses); "
+                        "also via AA_STRICT_TEXT=1")
     args = p.parse_args(argv)
 
     if args.turbo:
@@ -545,7 +609,8 @@ def main(argv: Optional[list] = None):
     enable_compile_cache()
     service = MirageService(model_choice=args.model, half=not args.no_half,
                             batch_window_s=args.batch_window,
-                            max_batch=args.max_batch)
+                            max_batch=args.max_batch,
+                            strict_text=args.strict_text or None)
     if args.warmup:
         print("serve: warmup generate (compiles the serving programs)...")
         service.generate_wav({"text": ["warmup"], "steps": 150,

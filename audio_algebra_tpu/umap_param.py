@@ -161,8 +161,9 @@ class ParametricUMAP:
         self._sd = x.std(axis=0) + 1e-6
         xs = (x - self._mu) / self._sd
         k = min(self.k, x.shape[0] - 1)
+        from .utils.prng import host_key
         self.params, emb, self.losses = _fit(
-            xs, __import__('audio_algebra_tpu.utils.prng', fromlist=['host_key']).host_key(self.seed), k, self.steps,
+            xs, host_key(self.seed), k, self.steps,
             min(self.batch_edges, x.shape[0] * k), self.neg_per_edge,
             self.n_components, self.hidden, self.lr)
         return np.asarray(emb)

@@ -54,6 +54,14 @@ def _np_or_tracer(x):
         return np.asarray(x)
     except jax.errors.TracerArrayConversionError:
         return x
+    except TypeError:
+        # new-style typed key (jax.random.key): np.asarray refuses the
+        # opaque key dtype — unwrap to raw uint32 key data, which the CPU
+        # split/fold_in accepts and which stays bit-identical
+        try:
+            return np.asarray(jax.random.key_data(x))
+        except jax.errors.TracerArrayConversionError:
+            return x
 
 
 def host_key(seed: int) -> np.ndarray:

@@ -298,3 +298,67 @@ def test_basic_auth(monkeypatch):
         assert c4.getresponse().status == 200
     finally:
         srv.shutdown()
+
+
+def test_health_reports_tokenizer_backend(server):
+    c = _conn(server)
+    c.request("GET", "/health")
+    body = json.loads(c.getresponse().read())
+    assert body["text_tokenizer"] in ("bpe", "hf-cache", "byte-fallback")
+    assert body["strict_text"] is False
+
+
+def test_text_fallback_fails_loud():
+    """VERDICT r4 item 6: on an asset-less image, text prompts must not
+    fail soft — non-strict responses carry a machine-readable
+    tokenizer_warning; strict mode refuses with 409 + remediation body."""
+    model = CLAPDAE(**TINY_CLAPDAE)
+    model.demo_samples = 4096
+    for strict in (False, True):
+        service = MirageService(model=model, model_choice="tiny",
+                                verbose=False, strict_text=strict)
+        # force the degraded backend so the test is deterministic whether
+        # or not tokenizer assets exist on this machine
+        service.tokenizer_backend = "byte-fallback"
+        srv = make_server(service, "127.0.0.1", 0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            addr = srv.server_address
+            c = _conn(addr)
+            c.request("POST", "/embed", json.dumps({"text": "low brass"}),
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            if strict:
+                assert r.status == 409
+                body = json.loads(r.read())
+                assert body["error"] == "text_tokenizer_unavailable"
+                assert "fetch_tokenizer" in body["fix"]
+            else:
+                assert r.status == 200
+                body = json.loads(r.read())
+                assert "byte-level fallback" in body["tokenizer_warning"]
+            c2 = _conn(addr)
+            c2.request("POST", "/generate",
+                       json.dumps({"text": ["hi"], "steps": 2,
+                                   "outer_steps": 2}),
+                       {"Content-Type": "application/json"})
+            r2 = c2.getresponse()
+            if strict:
+                assert r2.status == 409
+                assert json.loads(r2.read())["error"] == \
+                    "text_tokenizer_unavailable"
+            else:
+                assert r2.status == 200
+                info = json.loads(r2.getheader("X-Generate-Info"))
+                assert "byte-level fallback" in info["tokenizer_warning"]
+                r2.read()
+            # embeddings-only requests are unaffected by strictness
+            c3 = _conn(addr)
+            emb = np.zeros(512); emb[0] = 1.0
+            c3.request("POST", "/generate",
+                       json.dumps({"embeddings": [emb.tolist()], "steps": 2,
+                                   "outer_steps": 2}),
+                       {"Content-Type": "application/json"})
+            assert c3.getresponse().status == 200
+        finally:
+            srv.shutdown()

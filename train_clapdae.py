@@ -97,10 +97,16 @@ def main():
     model_apply = lambda p, x, t, **kw: ldm.apply(p, x, t, **kw)
 
     def step_fn(params, ema_params, opt_state, step_idx, latents, emb, t,
-                noise, key):
+                key):
+        # split + noise draw INSIDE the jit: eager per-step jax.random ops
+        # dispatch through the axon relay uncached (see utils/prng.py) —
+        # in-graph they compile into the step program and cost nothing
+        k_noise, k_cfg = jax.random.split(jnp.asarray(key))
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+
         def loss_fn(p):
             return v_objective_loss(model_apply, p, latents, emb, t, noise,
-                                    key, embedding_mask_proba=cfg_dropout)
+                                    k_cfg, embedding_mask_proba=cfg_dropout)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -132,7 +138,7 @@ def main():
     logger = RunLogger(project='clapdae', name=args.name,
                        config=args.to_dict())
     sobol = SobolSampler(dim=1, scramble=True, seed=seed)
-    from audio_algebra_tpu.utils.prng import host_key
+    from audio_algebra_tpu.utils.prng import host_key, host_split
     key = host_key(seed)
     max_epochs = getattr(args, 'max_epochs', 40)
     step = start_step
@@ -154,13 +160,10 @@ def main():
 
             t = jax.device_put(jnp.asarray(sobol.draw(reals.shape[0])),
                                batch_shard)
-            key, k_noise, k_cfg = jax.random.split(key, 3)
-            noise = jax.device_put(
-                jax.random.normal(k_noise, latents.shape, latents.dtype),
-                batch_shard)
+            key, k_step = host_split(key)       # CPU-backend split, no relay
             params, ema_params, opt_state, loss = jitted(
                 params, ema_params, opt_state, jnp.asarray(step),
-                latents, emb, t, noise, k_cfg)
+                latents, emb, t, k_step)
             if step % 25 == 0:
                 logger.log({"train_loss": float(loss),
                             "train_lr": float(sched(min(step, t_max))),
