@@ -190,6 +190,74 @@ def convert_dmae_state_dict(sd: Dict[str, np.ndarray], params_template):
     return new, hits, misses
 
 
+# ------------------------------------------------------- ambiguity audit ---
+
+# Coarse semantic classes for name-hint cross-checking. The shape pour is
+# ordered-greedy WITHIN (bucket, kind, shape) groups; when such a group has
+# >1 members, ordering alone decides who gets what — correct as long as
+# natural-sort order matches on both sides, silently wrong otherwise (the
+# mis-pour risk on real released checkpoints, reference strict-load
+# semantics given_models.py:702). The audit records every multi-member
+# group and flags pairings whose torch/flax name classes disagree.
+_NAME_CLASSES = (
+    ("attn", ("attn", "attention", "to_q", "to_k", "to_v", "to_qkv",
+              "to_out", "qkv", "mha", "selfattention", "crossattention")),
+    ("norm", ("norm", "groupnorm", "layernorm", "batchnorm", "ln_", "gn_")),
+    ("embed", ("embed", "emb", "mapping", "time_mlp", "timestep",
+               "fourier", "positional")),
+    ("updown", ("downsample", "upsample", "down_", "up_", "resample",
+                "pool", "stride")),
+)
+
+
+def _name_class(name: str):
+    """Coarse class of a parameter name ('attn'/'norm'/'embed'/'updown'),
+    or None when no hint token appears."""
+    low = name.lower().replace("/", ".")
+    for cls, tokens in _NAME_CLASSES:
+        if any(t in low for t in tokens):
+            return cls
+    return None
+
+
+_LAST_REPORT: Dict = {}
+
+
+def convert_report() -> Dict:
+    """Audit of the most recent shape-signature conversion.
+
+    {"ambiguous_groups": [{"kind", "shape", "members": [(torch, flax)]}],
+     "suspicious": [{"torch", "flax", "torch_class", "flax_class"}],
+     "n_placed": int}
+
+    A group is ambiguous when >1 tensors of the same (bucket, kind,
+    post-transpose shape) were paired purely by natural-sort order; a
+    pairing is suspicious when torch and flax name hints fall in different
+    semantic classes (e.g. a torch attention projection landing in a flax
+    conv slot). Suspicious pairings are also printed at convert time —
+    run this after pouring a REAL released checkpoint to know whether any
+    weight placement rested on ordering alone."""
+    return dict(_LAST_REPORT)
+
+
+def _audit_placements(placements):
+    """Group placements by (bucket, kind, shape); flag cross-class pairs."""
+    groups: Dict[tuple, list] = {}
+    for bucket_i, tname, fpath, kind, shape in placements:
+        groups.setdefault((bucket_i, kind, shape), []).append((tname, fpath))
+    ambiguous, suspicious = [], []
+    for (bucket_i, kind, shape), members in groups.items():
+        if len(members) < 2:
+            continue
+        ambiguous.append({"kind": kind, "shape": shape, "members": members})
+        for tname, fpath in members:
+            tc, fc = _name_class(tname), _name_class(fpath)
+            if tc is not None and fc is not None and tc != fc:
+                suspicious.append({"torch": tname, "flax": fpath,
+                                   "torch_class": tc, "flax_class": fc})
+    return ambiguous, suspicious
+
+
 def _pour_by_predicate(sd: Dict[str, np.ndarray], params_template,
                        pairs: List[Tuple]) -> Tuple:
     """Shared pour loop: pairs = [(slot_pred(path)->bool,
@@ -254,7 +322,8 @@ def _pour_by_predicate(sd: Dict[str, np.ndarray], params_template,
 
     new_leaves = list(flat_leaves)
     hits, misses = 0, []
-    for slot_pred, torch_pred in pairs:
+    placements = []   # (bucket_i, torch_name, flax_path, kind, shape)
+    for bucket_i, (slot_pred, torch_pred) in enumerate(pairs):
         slots = [(p, s, flax_kind(p)) for p, s in paths if slot_pred(p)]
         used = set()
         module_map = {}   # torch module prefix -> flax parent path
@@ -279,6 +348,8 @@ def _pour_by_predicate(sd: Dict[str, np.ndarray], params_template,
                         new_leaves[idx] = np.asarray(
                             arr, dtype=flat_leaves[idx].dtype)
                         hits += 1
+                        # sibling-anchored: not an ordering decision, so
+                        # it never enters the ambiguity audit
                         return True
             for cand in candidates(arr):
                 match = next((p for p, s, k in slots
@@ -290,6 +361,8 @@ def _pour_by_predicate(sd: Dict[str, np.ndarray], params_template,
                     new_leaves[idx] = np.asarray(
                         cand, dtype=flat_leaves[idx].dtype)
                     hits += 1
+                    placements.append((bucket_i, tname, match, kind,
+                                       cand.shape))
                     if tname.endswith(".weight"):
                         module_map[tname[: -len(".weight")]] = \
                             match.rsplit("/", 1)[0] if "/" in match else ""
@@ -321,6 +394,18 @@ def _pour_by_predicate(sd: Dict[str, np.ndarray], params_template,
     if unclaimed:
         print(f"convert: {len(unclaimed)} torch tensors outside every "
               f"bucket were not poured (e.g. {unclaimed[0]})")
+    ambiguous, suspicious = _audit_placements(placements)
+    _LAST_REPORT.clear()
+    _LAST_REPORT.update({"ambiguous_groups": ambiguous,
+                         "suspicious": suspicious, "n_placed": len(placements)})
+    if ambiguous:
+        n_mem = sum(len(g["members"]) for g in ambiguous)
+        print(f"convert: {len(ambiguous)} same-shape groups ({n_mem} "
+              f"tensors) paired by order alone — see convert_report()")
+    for s in suspicious:
+        print(f"convert: SUSPICIOUS pairing {s['torch']} "
+              f"[{s['torch_class']}] -> {s['flax']} [{s['flax_class']}] — "
+              "same shape, different name class; verify numerically")
     return jax.tree_util.tree_unflatten(treedef, new_leaves), hits, misses
 
 

@@ -333,3 +333,56 @@ def test_infer_clap_cfgs_from_sd():
     assert a.projection_dim == 320 and t.projection_dim == 320
     assert t.vocab == 512 and t.hidden == 128 and t.heads == 2
     assert t.layers == 2 and t.max_pos == 80 and t.intermediate == 256
+
+
+def test_convert_report_flags_permuted_same_shape_pairs(capsys):
+    """VERDICT r4 item 7: the ambiguity audit. Two same-shape conv weights
+    whose torch natural-sort order crosses the flax slot order pair purely
+    by ordering — convert_report() must record the ambiguous group and
+    flag both pairings as suspicious (attn tensor in an updown slot and
+    vice versa). With name-aligned slots the same shapes pour cleanly."""
+    from audio_algebra_tpu.convert import convert_by_shape, convert_report
+
+    rng = np.random.default_rng(0)
+    w_attn = rng.standard_normal((8, 8, 3)).astype(np.float32)
+    w_down = rng.standard_normal((8, 8, 3)).astype(np.float32)
+    sd = {"net.attn.weight": w_attn.copy(),
+          "net.downsample.weight": w_down.copy()}
+
+    # crossed: flax 'down_conv' sorts before 'x_attn', torch 'attn' before
+    # 'downsample' -> attn lands in down_conv, downsample in x_attn
+    crossed = {"params": {
+        "down_conv": {"kernel": jnp.zeros((3, 8, 8))},
+        "x_attn": {"kernel": jnp.zeros((3, 8, 8))},
+    }}
+    new, hits, misses = convert_by_shape(sd, crossed,
+                                         buckets={"params": ("net.",)})
+    assert hits == 2 and not misses
+    rep = convert_report()
+    assert rep["n_placed"] == 2
+    assert len(rep["ambiguous_groups"]) == 1
+    assert len(rep["ambiguous_groups"][0]["members"]) == 2
+    classes = {(s["torch_class"], s["flax_class"]) for s in rep["suspicious"]}
+    assert ("attn", "updown") in classes and ("updown", "attn") in classes
+    out = capsys.readouterr().out
+    assert "SUSPICIOUS" in out and "paired by order alone" in out
+    # the mis-pour the audit is flagging actually happened:
+    np.testing.assert_allclose(
+        np.asarray(new["params"]["down_conv"]["kernel"]),
+        np.transpose(w_attn, (2, 1, 0)))
+
+    # aligned: same shapes, slot names in matching classes and order ->
+    # still an ambiguous group (ordering decided), but nothing suspicious
+    aligned = {"params": {
+        "attn_proj": {"kernel": jnp.zeros((3, 8, 8))},
+        "downsample": {"kernel": jnp.zeros((3, 8, 8))},
+    }}
+    new2, hits2, _ = convert_by_shape(sd, aligned,
+                                      buckets={"params": ("net.",)})
+    assert hits2 == 2
+    rep2 = convert_report()
+    assert len(rep2["ambiguous_groups"]) == 1
+    assert rep2["suspicious"] == []
+    np.testing.assert_allclose(
+        np.asarray(new2["params"]["attn_proj"]["kernel"]),
+        np.transpose(w_attn, (2, 1, 0)))
