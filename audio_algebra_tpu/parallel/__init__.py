@@ -8,6 +8,6 @@ wrapper injected becomes a `psum` XLA emits from the sharding annotations,
 riding ICI.
 """
 
-from .mesh import make_mesh, batch_sharding, replicated  # noqa: F401
+from .mesh import make_mesh, mesh_from_spec, batch_sharding, replicated  # noqa: F401
 from .train import make_data_parallel_step, shard_batch, host_device_count  # noqa: F401
 from .infer import decode_unet_seqpar, pick_sharded_levels  # noqa: F401

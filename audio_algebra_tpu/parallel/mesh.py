@@ -22,6 +22,34 @@ def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("dat
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
+def mesh_from_spec(spec: str) -> Mesh:
+    """Parse a user-facing mesh spec like 'seq=4' or 'data=2,seq=4' into a
+    Mesh over local devices (row-major: first axis is outermost). The CLI
+    surface for multi-chip serving — e.g. `mirage.py --mesh seq=4` runs
+    the outer diffusion stage sequence-parallel over 4 chips."""
+    axes, sizes = [], []
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, eq, val = part.partition("=")
+        if not eq or not val.strip().isdigit() or int(val) < 1:
+            raise ValueError(
+                f"bad mesh spec {spec!r}: expected 'axis=N[,axis=N...]', "
+                f"got component {part!r}")
+        axes.append(name.strip())
+        sizes.append(int(val))
+    if not axes:
+        raise ValueError(f"empty mesh spec {spec!r}")
+    need = int(np.prod(sizes))
+    have = len(jax.devices())
+    if need > have:
+        raise ValueError(
+            f"mesh spec {spec!r} needs {need} devices, have {have}")
+    return make_mesh(n_devices=need, axis_names=tuple(axes),
+                     shape=tuple(sizes))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data", ndim: int = 3) -> NamedSharding:
     """Shard the leading (batch) dim over `axis`, replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

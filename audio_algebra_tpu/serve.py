@@ -253,7 +253,7 @@ class _MicroBatcher:
             steps, outer_steps, cfg_scale = group[0].key
             try:
                 with self.service.lock:
-                    fakes, _ = self.service.model.generate(
+                    fakes, _ = self.service._model_generate(
                         np.concatenate(embs, axis=0),
                         cfg_scales=cfg_scale, demo_steps=steps,
                         outer_steps=outer_steps, batch_size=pad_n,
@@ -280,7 +280,8 @@ class MirageService:
     def __init__(self, model=None, model_choice: str = "22s",
                  half: bool = True, verbose: bool = True,
                  batch_window_s: float = 0.0, max_batch: int = 8,
-                 strict_text: Optional[bool] = None):
+                 strict_text: Optional[bool] = None,
+                 mesh_spec: Optional[str] = None):
         if model is None:
             from .embedding_math import get_model_ready
             model = get_model_ready(model_choice, verbose=verbose, half=half)
@@ -299,6 +300,16 @@ class MirageService:
         self.auth: Optional[tuple] = (user, pw) if user and pw else None
         self.batcher = (_MicroBatcher(self, batch_window_s, max_batch)
                         if batch_window_s > 0 else None)
+        # Multi-chip latency path: with --mesh seq=N the outer diffusion
+        # stage runs sequence-parallel over N chips (parallel/infer.py);
+        # init-audio requests fall back to the single-program generate.
+        self.mesh = None
+        if mesh_spec:
+            from .parallel import mesh_from_spec
+            self.mesh = mesh_from_spec(mesh_spec)
+            if "seq" not in self.mesh.axis_names:
+                raise ValueError(f"--mesh {mesh_spec!r}: serving shards "
+                                 "over a 'seq' axis (e.g. seq=4)")
         # Text-prompt tokenizer status, probed once at startup: on an
         # asset-less image text tokenization silently degrades to byte-level
         # ids (see models/clap.py tokenize), which an HTTP client would never
@@ -334,6 +345,17 @@ class MirageService:
     def _count_request(self):
         with self._stats_lock:
             self.requests_served += 1
+
+    def _model_generate(self, emb, **kw):
+        """One generate call, routed through the sequence-parallel path
+        when a mesh is configured (caller holds self.lock). init-audio
+        requests stay single-program: the img2img resample isn't sharded."""
+        if self.mesh is not None and kw.get("init_audio_latents") is None:
+            kw.pop("init_audio_latents", None)
+            kw.pop("init_strength", None)
+            return self.model.generate_seqpar(emb, self.mesh, axis="seq",
+                                              **kw)
+        return self.model.generate(emb, **kw)
 
     # ------------------------------------------------------------ embed ---
     def embed_text(self, text: str) -> np.ndarray:
@@ -440,7 +462,7 @@ class MirageService:
                     import jax
                     from .utils.prng import host_key
                     self.model._key = host_key(seed)
-                fakes, _ = self.model.generate(
+                fakes, _ = self._model_generate(
                     emb, cfg_scales=cfg_scale, demo_steps=steps,
                     outer_steps=outer_steps, batch_size=batch_size,
                     init_audio_latents=init_latents,
@@ -461,6 +483,9 @@ class MirageService:
              "requests_served": self.requests_served,
              "text_tokenizer": self.tokenizer_backend,
              "strict_text": self.strict_text}
+        if self.mesh is not None:
+            h["mesh"] = {a: int(self.mesh.shape[a])
+                         for a in self.mesh.axis_names}
         if self.batcher is not None:
             h["batched_runs"] = self.batcher.batched_runs
             h["coalesced_requests"] = self.batcher.coalesced_requests
@@ -594,6 +619,10 @@ def main(argv: Optional[list] = None):
                         "concurrent same-config requests run as one batch")
     p.add_argument("--max-batch", type=int, default=8,
                    help="micro-batch cap (reference max variation batch)")
+    p.add_argument("--mesh", type=str, default=None, metavar="seq=N",
+                   help="run the outer diffusion stage sequence-parallel "
+                        "over N chips (multi-chip latency serving); "
+                        "init-audio requests fall back to single-program")
     p.add_argument("--strict-text", action="store_true",
                    help="refuse text prompts with 409 when no exact "
                         "RoBERTa tokenizer assets are present (default: "
@@ -610,7 +639,8 @@ def main(argv: Optional[list] = None):
     service = MirageService(model_choice=args.model, half=not args.no_half,
                             batch_window_s=args.batch_window,
                             max_batch=args.max_batch,
-                            strict_text=args.strict_text or None)
+                            strict_text=args.strict_text or None,
+                            mesh_spec=args.mesh)
     if args.warmup:
         print("serve: warmup generate (compiles the serving programs)...")
         service.generate_wav({"text": ["warmup"], "steps": 150,

@@ -89,7 +89,8 @@ def process_audio(audio_tups: Sequence = (), text_prompts: Sequence[str] = (),
                   init_strength: float = 0.4, batch_size: int = 1,
                   seed: int = -1, model_choice: str = "22s",
                   output_dir: str = ".", verbose: bool = True,
-                  model_kwargs: Optional[dict] = None, save_pca: bool = True):
+                  model_kwargs: Optional[dict] = None, save_pca: bool = True,
+                  mesh_spec: Optional[str] = None):
     """Embed -> combine -> generate -> crossfade -> save
     (reference mirage.py:255-453)."""
     import jax
@@ -136,11 +137,30 @@ def process_audio(audio_tups: Sequence = (), text_prompts: Sequence[str] = (),
         looped = np.tile(init_audio, (1, reps))[:, :need]   # loop-repeat
         init_latents = model.encode_audio_latents(looped[None])
 
-    # 4. generate (reference :414-421)
-    fakes, fake_latents = model.generate(
-        emb, cfg_scales=cfg_scale, demo_steps=demo_steps,
-        outer_steps=outer_steps, init_audio_latents=init_latents,
-        init_strength=init_strength, batch_size=batch_size, flatten=False)
+    # 4. generate (reference :414-421). With --mesh seq=N the outer
+    # diffusion stage runs SEQUENCE-PARALLEL across chips — the
+    # beyond-reference multi-chip latency path (parallel/infer.py)
+    if mesh_spec:
+        from audio_algebra_tpu.parallel import mesh_from_spec
+        mesh = mesh_from_spec(mesh_spec)
+        if "seq" not in mesh.axis_names:
+            raise ValueError(
+                f"--mesh {mesh_spec!r}: serving shards over a 'seq' axis "
+                "(e.g. --mesh seq=4)")
+        if init_latents is not None:
+            raise ValueError(
+                "--mesh seq=N does not support --init-audio yet: the "
+                "img2img resample path is single-program; drop one flag")
+        fakes, fake_latents = model.generate_seqpar(
+            emb, mesh, axis="seq", cfg_scales=cfg_scale,
+            demo_steps=demo_steps, outer_steps=outer_steps,
+            batch_size=batch_size, flatten=False)
+    else:
+        fakes, fake_latents = model.generate(
+            emb, cfg_scales=cfg_scale, demo_steps=demo_steps,
+            outer_steps=outer_steps, init_audio_latents=init_latents,
+            init_strength=init_strength, batch_size=batch_size,
+            flatten=False)
 
     # 5. crossfade variations into one take (reference :422-423)
     out = crossfade_flatten(np.asarray(fakes, np.float32))
@@ -293,6 +313,10 @@ def main():
     p.add_argument("--turbo", action="store_true",
                    help="int8 turbo decode (AA_TURBO_INT8=1): ~33%% faster "
                         "diffusion at ~2%% output RMS difference")
+    p.add_argument("--mesh", type=str, default=None, metavar="seq=N",
+                   help="run the outer diffusion stage sequence-parallel "
+                        "over N chips (multi-chip latency path); e.g. "
+                        "--mesh seq=4. Incompatible with --init-audio.")
     args = p.parse_args()
     if getattr(args, "turbo", False):
         os.environ["AA_TURBO_INT8"] = "1"   # read at model trace time
@@ -326,7 +350,7 @@ def main():
         outer_steps=args.outer_steps, init_audio_tup=init_tup,
         init_strength=args.init_strength, batch_size=args.batch_size,
         seed=args.seed, model_choice=args.model, output_dir=args.output_dir,
-        model_kwargs=model_kwargs)
+        model_kwargs=model_kwargs, mesh_spec=args.mesh)
     print(json.dumps({"wav": wav, "pca": pca}))
 
 

@@ -369,3 +369,39 @@ def test_topology_save8_restore_different_mesh(tmp_path, recwarn):
                                   np.arange(8.0))
     assert int(restored["step"]) == 7
     _assert_no_sharding_from_file(recwarn)
+
+
+@pytest.mark.slow
+def test_process_audio_seq_mesh(tmp_path):
+    """mirage --mesh seq=N: the CLI reaches the sequence-parallel outer
+    stage (VERDICT r4 item 9); output matches the single-program path for
+    the same seed to float tolerance."""
+    mirage._model_cache.clear()
+    # f32 for the cross-path comparison: bf16 divergence between the
+    # sharded and single-program implementations compounds over sampler
+    # steps and would swamp the parity signal
+    kw = dict(TINY_KW, half=False)
+    wav, _, out = mirage.process_audio(
+        text_prompts=["piano"], demo_steps=2, outer_steps=2,
+        output_dir=str(tmp_path), model_kwargs=kw, save_pca=False,
+        seed=11, mesh_spec="seq=4")
+    mirage._model_cache.clear()
+    _, _, want = mirage.process_audio(
+        text_prompts=["piano"], demo_steps=2, outer_steps=2,
+        output_dir=str(tmp_path), model_kwargs=kw, save_pca=False,
+        seed=11)
+    assert out.shape == want.shape
+    err = float(np.abs(out - want).max())
+    assert err < 1e-4, err
+    # bad specs fail with actionable errors
+    with pytest.raises(ValueError, match="seq"):
+        mirage.process_audio(text_prompts=["x"], demo_steps=2,
+                             outer_steps=2, model_kwargs=TINY_KW,
+                             save_pca=False, mesh_spec="data=4")
+    with pytest.raises(ValueError, match="init"):
+        pcm = np.zeros((4096, 2), np.float32)
+        mirage.process_audio(text_prompts=["x"], demo_steps=2,
+                             outer_steps=2, model_kwargs=TINY_KW,
+                             init_audio_tup=(48000, pcm), save_pca=False,
+                             mesh_spec="seq=4")
+    mirage._model_cache.clear()

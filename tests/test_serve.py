@@ -362,3 +362,46 @@ def test_text_fallback_fails_loud():
             assert c3.getresponse().status == 200
         finally:
             srv.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_with_seq_mesh():
+    """VERDICT r4 item 9: the multi-chip latency path is reachable from
+    the serving surface — --mesh seq=N routes /generate through
+    CLAPDAE.generate_seqpar on a seq-sharded mesh (virtual devices here);
+    init-audio requests fall back to the single-program path."""
+    model = CLAPDAE(**TINY_CLAPDAE)
+    model.demo_samples = 4096
+    service = MirageService(model=model, model_choice="tiny", verbose=False,
+                            mesh_spec="seq=4")
+    assert service.mesh is not None and service.mesh.shape["seq"] == 4
+    srv = make_server(service, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        addr = srv.server_address
+        c = _conn(addr)
+        c.request("GET", "/health")
+        assert json.loads(c.getresponse().read())["mesh"] == {"seq": 4}
+        emb = np.zeros(512); emb[0] = 1.0
+        c2 = _conn(addr)
+        c2.request("POST", "/generate",
+                   json.dumps({"embeddings": [emb.tolist()], "steps": 2,
+                               "outer_steps": 2}),
+                   {"Content-Type": "application/json"})
+        r = c2.getresponse()
+        assert r.status == 200
+        wav = r.read()
+        assert wav[:4] == b"RIFF" and len(wav) > 1000
+        # init-audio falls back to the single-program generate
+        import base64
+        raw = encode_wav(np.zeros((2, 4096), np.float32), 48000)
+        c3 = _conn(addr)
+        c3.request("POST", "/generate",
+                   json.dumps({"embeddings": [emb.tolist()], "steps": 2,
+                               "outer_steps": 2,
+                               "init_audio_b64":
+                                   base64.b64encode(raw).decode()}),
+                   {"Content-Type": "application/json"})
+        assert c3.getresponse().status == 200
+    finally:
+        srv.shutdown()
