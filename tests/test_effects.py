@@ -30,11 +30,19 @@ def test_effect_registry_has_reference_names():
 def test_knob_sweeps():
     lin = knob_sweep("Gain", 32)
     assert lin.shape == (32,) and lin[0] == -12.0 and lin[-1] == 12.0
+    # reference sweep config (xae cell 27): filters 50-10000 Hz, LOG
+    # (cell 33's rule: logspace iff 'Filter' in name)
     log = knob_sweep("LowpassFilter", 32)
-    assert abs(log[0] - 150.0) < 1e-6 and abs(log[-1] - 7500.0) < 1e-3
-    # log sweep: ratios constant
+    assert abs(log[0] - 50.0) < 1e-6 and abs(log[-1] - 10000.0) < 1e-3
     r = log[1:] / log[:-1]
     np.testing.assert_allclose(r, r[0], rtol=1e-5)
+    # non-filter knobs sweep linearly, at the cell-27 ranges
+    rv = knob_sweep("Reverb", 5)
+    np.testing.assert_allclose(rv, np.linspace(0.01, 0.99, 5), rtol=1e-6)
+    np.testing.assert_allclose(knob_sweep("Delay", 4),
+                               np.linspace(0.1, 1.0, 4), rtol=1e-6)
+    np.testing.assert_allclose(knob_sweep("Compressor", 3),
+                               np.linspace(-60.0, -3.0, 3), rtol=1e-6)
 
 
 def test_clean_and_reverse(tone):
@@ -90,6 +98,8 @@ def test_chorus_and_phaser_shapes(tone):
 
 @pytest.mark.slow
 def test_filters(tone):
+    # pedalboard's filters are FIRST-order (6 dB/octave), so the slopes
+    # are shallow: |H_lp| at 440/800 ~= 0.88, at 1765/800 ~= 0.41
     lo = np.asarray(lowpass_filter(tone, 800.0))
     hi = np.asarray(highpass_filter(tone, 800.0))
     spec = np.abs(np.fft.rfft(np.asarray(tone)[0]))
@@ -97,10 +107,10 @@ def test_filters(tone):
     spec_hi = np.abs(np.fft.rfft(hi[0]))
     f440 = int(440 * 16384 / SR)
     f1765 = int(1765 * 16384 / SR)
-    assert spec_lo[f440] / spec[f440] > 0.7
-    assert spec_lo[f1765] / spec[f1765] < 0.3
-    assert spec_hi[f440] / spec[f440] < 0.3
-    assert spec_hi[f1765] / spec[f1765] > 0.7
+    assert spec_lo[f440] / spec[f440] > 0.8
+    assert spec_lo[f1765] / spec[f1765] < 0.5
+    assert spec_hi[f440] / spec[f440] < 0.55
+    assert spec_hi[f1765] / spec[f1765] > 0.85
 
 
 def test_pitch_shift_moves_fundamental():
@@ -153,3 +163,180 @@ def test_pitch_shift_first_frame_phase_clean():
     head = float(np.sqrt((y[0, 512:2048] ** 2).mean()))
     mid = float(np.sqrt((y[0, 6000:10000] ** 2).mean()))
     assert head > 0.25 * mid, (head, mid)
+
+
+# ------------------------------------------------------------------------
+# JUCE-recurrence parity (VERDICT r4 item 5): independent sample-by-sample
+# NumPy renditions of the exact juce_Reverb.h / FirstOrderTPTFilter
+# algorithms as ground truth for the vectorised implementations.
+# ------------------------------------------------------------------------
+
+def _np_freeverb_stereo(x, room, damping=0.5, wet_level=0.33,
+                        dry_level=0.4, width=1.0, sr=48000):
+    """juce::Reverb::processStereo, straight from juce_Reverb.h."""
+    combT = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+    apT = (556, 441, 341, 225)
+    feedback = room * 0.28 + 0.7
+    damp = damping * 0.4
+    gain_in = 0.015
+    wet = wet_level * 3.0
+    dry = dry_level * 2.0
+    wet1 = wet * (width / 2 + 0.5)
+    wet2 = wet * ((1 - width) / 2)
+    T = x.shape[-1]
+    mono = (x[0] + x[1]) * gain_in
+    chans = []
+    for spread in (0, 23):
+        sizes = [sr * (t + spread) // 44100 for t in combT]
+        apsizes = [sr * (t + spread) // 44100 for t in apT]
+        bufs = [np.zeros(s) for s in sizes]
+        lasts = [0.0] * len(sizes)
+        apbufs = [np.zeros(s) for s in apsizes]
+        y = np.zeros(T)
+        for i in range(T):
+            acc = 0.0
+            for j in range(len(sizes)):
+                idx = i % sizes[j]
+                o = bufs[j][idx]
+                lasts[j] = o * (1 - damp) + lasts[j] * damp
+                bufs[j][idx] = mono[i] + lasts[j] * feedback
+                acc += o
+            for k in range(len(apsizes)):
+                ai = i % apsizes[k]
+                bo = apbufs[k][ai]
+                apbufs[k][ai] = acc + bo * 0.5
+                acc = bo - acc
+            y[i] = acc
+        chans.append(y)
+    out_l = chans[0] * wet1 + chans[1] * wet2 + x[0] * dry
+    out_r = chans[1] * wet1 + chans[0] * wet2 + x[1] * dry
+    return np.stack([out_l, out_r])
+
+
+def _np_tpt_filter(x, fc, sr, kind):
+    """juce::dsp::FirstOrderTPTFilter recurrence."""
+    g = np.tan(np.pi * fc / sr)
+    G = g / (1 + g)
+    y = np.zeros_like(x, dtype=np.float64)
+    for c in range(x.shape[0]):
+        s = 0.0
+        for i in range(x.shape[-1]):
+            v = G * (x[c, i] - s)
+            ylp = v + s
+            s = ylp + v
+            y[c, i] = ylp if kind == "lowpass" else x[c, i] - ylp
+    return y
+
+
+def _rel_rms(a, b):
+    return float(np.sqrt(((a - b) ** 2).mean()) /
+                 max(np.sqrt((b ** 2).mean()), 1e-12))
+
+
+@pytest.mark.slow
+def test_reverb_matches_juce_recurrence_stereo():
+    """The IR-conv Freeverb must equal the sample-by-sample JUCE
+    recurrence (the algorithm pedalboard.Reverb runs) to float tolerance
+    — the 'pedalboard-exact' fidelity claim, checked without pedalboard."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, 2048)) * 0.3).astype(np.float32)
+    for room in (0.2, 0.8):
+        want = _np_freeverb_stereo(x.astype(np.float64), room)
+        got = np.asarray(reverb(jnp.asarray(x), room))
+        assert got.shape == x.shape
+        err = _rel_rms(got, want)
+        assert err < 1e-4, f"room={room}: rel RMS {err}"
+
+
+@pytest.mark.slow
+def test_reverb_matches_juce_recurrence_mono_and_441k():
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((1, 1024)) * 0.3).astype(np.float32)
+    # processMono path: wet1 only
+    combT = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+    apT = (556, 441, 341, 225)
+    for sr in (44100, 48000):
+        room, damping = 0.5, 0.5
+        feedback, damp = room * 0.28 + 0.7, damping * 0.4
+        sizes = [sr * t // 44100 for t in combT]
+        apsizes = [sr * t // 44100 for t in apT]
+        bufs = [np.zeros(s) for s in sizes]
+        lasts = [0.0] * 8
+        apbufs = [np.zeros(s) for s in apsizes]
+        y = np.zeros(1024)
+        mono = x[0].astype(np.float64) * 0.015
+        for i in range(1024):
+            acc = 0.0
+            for j in range(8):
+                idx = i % sizes[j]
+                o = bufs[j][idx]
+                lasts[j] = o * (1 - damp) + lasts[j] * damp
+                bufs[j][idx] = mono[i] + lasts[j] * feedback
+                acc += o
+            for k in range(4):
+                ai = i % apsizes[k]
+                bo = apbufs[k][ai]
+                apbufs[k][ai] = acc + bo * 0.5
+                acc = bo - acc
+            y[i] = acc
+        want = y * (0.33 * 3.0) + x[0] * (0.4 * 2.0)
+        got = np.asarray(reverb(jnp.asarray(x), room, sample_rate=sr))[0]
+        assert _rel_rms(got, want) < 1e-4
+
+
+@pytest.mark.slow
+def test_tpt_filters_match_juce_recurrence(tone):
+    x = np.asarray(tone)[:, :4096]
+    for fn, kind in ((lowpass_filter, "lowpass"),
+                     (highpass_filter, "highpass")):
+        for fc in (200.0, 2000.0):
+            want = _np_tpt_filter(x, fc, SR, kind)
+            got = np.asarray(fn(jnp.asarray(x), fc))
+            assert _rel_rms(got, want) < 1e-5
+
+
+# ------------------------------------------------------------------------
+# Vendored pedalboard goldens: rendered once by
+# tools/make_pedalboard_goldens.py on a machine where pedalboard exists,
+# committed under tests/goldens/pedalboard/. Skipped when absent (this
+# zero-egress image cannot install pedalboard).
+# ------------------------------------------------------------------------
+
+_PB_GOLDEN_DIR = __import__("pathlib").Path(__file__).parent / \
+    "goldens" / "pedalboard"
+
+# effect -> acceptable rel-RMS vs real pedalboard. Exact-algorithm
+# implementations get float-level bars; documented-approximation effects
+# (see docs/effects_fidelity.md) get behavioral bars.
+_PB_TOLERANCES = {
+    "Gain": 1e-6, "Distortion": 1e-5,
+    "HighpassFilter": 1e-4, "LowpassFilter": 1e-4,
+    "Reverb": 5e-3,          # JUCE 10 ms smoothing ramp after prepare()
+    "Delay": 1e-3,           # fractional-sample interpolation difference
+    "Compressor": 0.1, "Chorus": 1.0, "Phaser": 1.0, "PitchShift": 1.0,
+}
+
+
+def _pb_cases():
+    if not _PB_GOLDEN_DIR.exists():
+        return []
+    return sorted(_PB_GOLDEN_DIR.glob("*.npz"))
+
+
+@pytest.mark.skipif(not _pb_cases(),
+                    reason="no vendored pedalboard goldens "
+                           "(run tools/make_pedalboard_goldens.py where "
+                           "pedalboard is installed)")
+@pytest.mark.parametrize("path", _pb_cases(), ids=lambda p: p.stem)
+def test_against_pedalboard_golden(path):
+    z = np.load(path, allow_pickle=True)
+    name = str(z["effect"])
+    x = z["x"]
+    knob = float(z["knob"])
+    want = z["y"]
+    got = np.asarray(apply_effect(name, jnp.asarray(x), knob,
+                                  int(z["sample_rate"])))
+    got = got[..., : want.shape[-1]]
+    err = _rel_rms(got, want[..., : got.shape[-1]])
+    tol = _PB_TOLERANCES.get(name, 1e-2)
+    assert err < tol, f"{name} knob={knob}: rel RMS {err} >= {tol}"
