@@ -20,3 +20,6 @@ echo DONE_MEASURE2
 timeout 4000 python tools/profile.py trace --model ldm --model-len 66s --batch 1 --steps 10 > .r5_logs/trace66_ldm.log 2>&1
 timeout 4000 python tools/profile.py trace --model outer --model-len 66s --batch 1 --steps 10 > .r5_logs/trace66_outer.log 2>&1
 echo DONE_TRACES
+# train-step trace (flash on): where does the 0.36 train MFU go
+AA_TRAIN_FLASH=1 timeout 4000 python tools/profile.py train-trace --batch 16 --reps 2 > .r5_logs/train_trace_flash.log 2>&1
+echo DONE_TRAIN_TRACE

@@ -282,6 +282,85 @@ def cmd_trace(args):
     summarize_hlo_stats(out)
 
 
+def cmd_train_trace(args):
+    """xprof the CLAPDAE generator TRAIN step (the bench_train step
+    verbatim: v-objective + CFG dropout + Adam + EMA) — the trace behind
+    training-MFU statements. AA_TRAIN_FLASH / AA_LDM_REMAT apply."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from audio_algebra_tpu.models.stacked import (
+        StackedAELatentDiffusionCond, v_objective_loss)
+    from audio_algebra_tpu.models.ema import EMASchedule
+    from audio_algebra_tpu.utils.params import fast_random_params
+    from audio_algebra_tpu.utils.prng import host_key
+
+    ldm = StackedAELatentDiffusionCond()
+    lat_shape = (args.batch, 32, 2048)
+    params = fast_random_params(
+        ldm, 0, jnp.zeros((1,) + lat_shape[1:]), jnp.zeros((1,)),
+        embedding=jnp.zeros((1, 1, 512)))
+    opt = optax.adam(4e-5)
+    opt_state = opt.init(params)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params)
+    ema_sched = EMASchedule(beta=0.9999, power=0.75)
+
+    def model_apply(p, x, t, **kw):
+        pb = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, p)
+        return ldm.apply(pb, x.astype(jnp.bfloat16), t,
+                         **kw).astype(jnp.float32)
+
+    def step_fn(params, ema_params, opt_state, step_idx, latents, emb, t,
+                noise, key):
+        def loss_fn(p):
+            return v_objective_loss(model_apply, p, latents, emb, t, noise,
+                                    key, embedding_mask_proba=0.1)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = ema_sched.update(params, ema_params, step_idx)
+        return params, ema_params, opt_state, loss
+
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal(lat_shape), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((args.batch, 1, 512)), jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, (args.batch,)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal(lat_shape), jnp.float32)
+    key = host_key(1)
+    state = (params, ema_params, opt_state)
+
+    def run(state, i):
+        p, e, o, loss = jitted(*state, i, latents, emb, t, noise, key)
+        _fetch(loss)
+        return (p, e, o)
+
+    state = run(state, 0)                      # compile outside the trace
+    t0 = time.perf_counter()
+    state = run(state, 1)
+    print(f"wall: {(time.perf_counter() - t0) * 1e3:.1f} ms/step "
+          f"(batch {args.batch})")
+    logdir = "/tmp/aa_train_trace"
+    shutil.rmtree(logdir, ignore_errors=True)
+    with jax.profiler.trace(logdir):
+        for i in range(args.reps):
+            state = run(state, 2 + i)
+    xplanes = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    if not xplanes:
+        raise SystemExit("no xplane captured")
+    from xprof.convert import raw_to_tool_data
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [xplanes[-1]], "hlo_stats^", {})
+    out = "/tmp/aa_train_hlo_stats.out"
+    with open(out, "wb" if isinstance(data, bytes) else "w") as fh:
+        fh.write(data)
+    print(f"hlo_stats -> {out}  (reps={args.reps}; divide by reps)")
+    summarize_hlo_stats(out)
+
+
 def cmd_levels(args):
     """Depth-truncated decode-UNet: cost of each resolution level."""
     jax = _setup_jax()
@@ -339,6 +418,12 @@ def main():
     tr.add_argument("--model-len", default="22s", choices=["22s", "66s"],
                     help="generation window for ldm/outer loop targets")
     tr.set_defaults(func=cmd_trace)
+
+    tt = sub.add_parser("train-trace",
+                        help="xprof the CLAPDAE generator train step")
+    tt.add_argument("--batch", type=int, default=16)
+    tt.add_argument("--reps", type=int, default=2)
+    tt.set_defaults(func=cmd_train_trace)
 
     lv = sub.add_parser("levels", help="per-level decode-UNet cost")
     lv.add_argument("--batch", type=int, default=16)
