@@ -168,6 +168,9 @@ DEFAULTS = dict(
     lr=4e-5,
     lr_t_max=500,
     cfg_dropout=0.1,
+    fsdp=0,              # 1 = shard params/EMA/Adam state over the data
+                         # axis (ZeRO-3; parallel/fsdp.py) — the multi-chip
+                         # answer to the measured single-chip batch cap
 )
 
 

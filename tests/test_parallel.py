@@ -260,3 +260,84 @@ def test_bf16_compute_path():
     s = replicate_state(opt.init(params), mesh)
     p1, _, _ = step(p, s, np.ones((8, 4), np.float32))
     assert jax.tree_util.tree_leaves(p1)[0].dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_fsdp_step_matches_replicated():
+    """ZeRO-3 state sharding (parallel/fsdp.py): the CLAPDAE-style train
+    step with params/EMA/Adam state sharded over the data axis must
+    produce the same update as the replicated step — XLA's declared-
+    sharding collectives (all-gather at use, reduce-scatter on grads) are
+    numerically the identity reorganisation."""
+    from audio_algebra_tpu.models.stacked import (StackedAELatentDiffusionCond,
+                                                  v_objective_loss)
+    from audio_algebra_tpu.models.ema import EMASchedule
+    from audio_algebra_tpu.parallel.fsdp import (fsdp_sharding, shard_state,
+                                                 state_bytes_per_device)
+    from audio_algebra_tpu.utils.params import fast_random_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh()
+    ldm = StackedAELatentDiffusionCond(
+        latent_dim=8, channels=16, multipliers=(1, 2), factors=(2,),
+        num_blocks=(1,), attentions=(0, 1), resnet_groups=4,
+        attention_heads=2, attention_features=8)
+    params = fast_random_params(
+        ldm, 0, jnp.zeros((1, 8, 64)), jnp.zeros((1,)),
+        embedding=jnp.zeros((1, 1, 512)))
+    opt = optax.adam(1e-3)
+    ema_sched = EMASchedule()
+    apply = lambda p, x, t, **kw: ldm.apply(p, x, t, **kw)
+
+    def step_fn(params, ema, opt_state, latents, emb, t, noise, key):
+        loss, grads = jax.value_and_grad(lambda p: v_objective_loss(
+            apply, p, latents, emb, t, noise, key,
+            embedding_mask_proba=0.1))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = ema_sched.update(params, ema, 1)
+        return params, ema, opt_state, loss
+
+    rng = np.random.default_rng(0)
+    B = 8
+    latents = jnp.asarray(rng.standard_normal((B, 8, 64)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((B, 1, 512)), jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, (B,)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((B, 8, 64)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    # reference: plain replicated jit
+    ema0 = jax.tree_util.tree_map(jnp.copy, params)
+    want_p, want_e, want_o, want_l = jax.jit(step_fn)(
+        params, ema0, opt.init(params), latents, emb, t, noise, key)
+
+    # fsdp: min_size tiny so even this small model actually shards
+    kw = dict(min_size=8)
+    sp, p_sh = shard_state(params, mesh, **kw)
+    se, e_sh = shard_state(ema0, mesh, **kw)
+    so, o_sh = shard_state(opt.init(params), mesh, **kw)
+    # at least one big leaf must actually be sharded (not all-replicated)
+    specs = {s.spec for s in jax.tree_util.tree_leaves(p_sh)}
+    assert any(any(ax is not None for ax in spec) for spec in specs)
+    # resident bytes drop vs replicated
+    full = sum(np.prod(l.shape) * 4 for l in jax.tree_util.tree_leaves(params))
+    assert state_bytes_per_device(params, mesh, min_size=8) < full
+    dp = NamedSharding(mesh, P("data"))
+    fsdp_step = jax.jit(step_fn,
+                        in_shardings=(p_sh, e_sh, o_sh) + (None,) * 5,
+                        out_shardings=(p_sh, e_sh, o_sh, None))
+    got_p, got_e, got_o, got_l = fsdp_step(
+        sp, se, so, jax.device_put(latents, dp), jax.device_put(emb, dp),
+        jax.device_put(t, dp), jax.device_put(noise, dp), key)
+
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    for got, want in ((got_p, want_p), (got_e, want_e)):
+        ga = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, got))
+        wa = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, want))
+        for g, w in zip(ga, wa):
+            np.testing.assert_allclose(g, w, rtol=2e-4, atol=1e-6)
+    # outputs keep the declared shardings (state STAYS sharded step-over-step)
+    out_specs = {s.sharding.spec
+                 for s in jax.tree_util.tree_leaves(got_p)
+                 if hasattr(s, "sharding")}
+    assert any(any(ax is not None for ax in spec) for spec in out_specs)

@@ -176,3 +176,54 @@ def test_train_mixer_demo_media(train_env, tmp_path):
     d = run_dirs[0]
     assert list(d.glob("zsum_*.wav")), "no decoded zsum audio"
     assert list(d.glob("zmix_*.wav"))
+
+
+def test_train_clapdae_cli_fsdp(train_env, tmp_path):
+    """--fsdp 1 shards params/EMA/Adam state over the data mesh (ZeRO-3,
+    parallel/fsdp.py) — the multi-chip answer to the measured single-chip
+    batch cap. Runs the real CLI on the 8-virtual-device mesh."""
+    root, _ = train_env
+    mc = tmp_path / "clapdae_tiny.json"
+    json.dump({
+        "first_stage_config": {"capacity": 4, "c_mults": [2, 4],
+                               "strides": [4, 4], "latent_dim": 8},
+        "model_kwargs": {
+            "latent_channels": 8, "latent_multipliers": [1, 2, 4],
+            "latent_num_blocks": [1, 1], "factors": [2, 2],
+            "diffusion_c_mults": [8, 8], "diffusion_depth": 2,
+            "second_stage_latent_dim": 8,
+            "channels": 8, "multipliers": [1, 2, 2], "factors2": [1, 2],
+            "num_blocks": [1, 1], "attentions": [0, 0, 1]},
+        "clap_kwargs": {
+            "audio_cfg": {"spec_size": 32, "num_mel_bins": 8,
+                          "patch_embed_hidden": 16, "depths": [1, 1],
+                          "heads": [2, 2], "window": 4, "n_fft": 256,
+                          "hop": 64, "clip_samples": 4096},
+            "text_cfg": {"vocab": 300, "hidden": 32, "layers": 1,
+                         "heads": 2, "intermediate": 64, "max_pos": 80,
+                         "max_len": 16}},
+    }, open(mc, "w"))
+    # own 8-clip corpus: batch 8 must shard over the 8-device mesh (the
+    # module corpus has 4 clips -> every batch would be a dropped ragged
+    # tail)
+    corpus = tmp_path / "corpus8"
+    corpus.mkdir()
+    rng = np.random.default_rng(5)
+    sr = 48000
+    for i in range(8):
+        t = np.arange(sr // 2) / sr
+        x = 0.4 * np.sin(2 * np.pi * (150 + 80 * i) * t) \
+            + 0.05 * rng.standard_normal(sr // 2)
+        write_wav(str(corpus / f"f{i}.wav"),
+                  np.stack([x, x]).astype(np.float32), sr)
+    ini = tmp_path / "clapdae_fsdp.ini"
+    write_defaults_ini(str(ini), overrides=dict(
+        training_dir=str(corpus), batch_size=8, num_gpus=8,
+        num_workers=0, sample_size=2048, load_frac=1.0, demo_every=0,
+        checkpoint_every=0, model_config=str(mc), max_epochs=1,
+        name="clapdae-fsdp-test"))
+    r = _run("train_clapdae.py", ini, tmp_path, extra=["--fsdp", "1"])
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "fsdp: train state sharded over data=8" in r.stdout, \
+        r.stdout[-800:]
+    assert "training done." in r.stdout

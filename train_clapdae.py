@@ -113,7 +113,8 @@ def main():
         ema_params = ema_sched.update(params, ema_params, step_idx)
         return params, ema_params, opt_state, loss
 
-    jitted = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+    # jitted is built AFTER resume + state placement (fsdp shardings must
+    # be declared on the jit, and resume rewrites the state trees)
 
     start_step = 0
     if args.ckpt_path:
@@ -135,6 +136,29 @@ def main():
         except Exception as e:
             print(f"Resume failed ({e}); starting fresh")
 
+    # --fsdp 1: shard the f32 train state (params + EMA + Adam m/v) over
+    # the data axis, ZeRO-3-style (parallel/fsdp.py). The single-chip
+    # batch cap is the replicated state (~7.4 GiB resident for the
+    # reference 'songs' model — BASELINE.md flash A/B), so sharding it is
+    # how multi-chip actually buys batch, not just throughput. XLA
+    # inserts the all-gathers/reduce-scatters from the declared shardings.
+    use_fsdp = int(getattr(args, "fsdp", 0) or 0)
+    if use_fsdp and mesh.shape["data"] > 1:
+        from audio_algebra_tpu.parallel.fsdp import (shard_state,
+                                                     state_bytes_per_device)
+        resident = sum(state_bytes_per_device(t, mesh)
+                       for t in (params, ema_params, opt_state))
+        params, p_sh = shard_state(params, mesh)
+        ema_params, e_sh = shard_state(ema_params, mesh)
+        opt_state, o_sh = shard_state(opt_state, mesh)
+        print(f"fsdp: train state sharded over data={mesh.shape['data']} "
+              f"-> {resident / 2**30:.2f} GiB resident per device")
+        jitted = jax.jit(step_fn, donate_argnums=(0, 1, 2),
+                         in_shardings=(p_sh, e_sh, o_sh) + (None,) * 5,
+                         out_shardings=(p_sh, e_sh, o_sh, None))
+    else:
+        jitted = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
     logger = RunLogger(project='clapdae', name=args.name,
                        config=args.to_dict())
     sobol = SobolSampler(dim=1, scramble=True, seed=seed)
@@ -152,6 +176,10 @@ def main():
     for epoch in range(max_epochs):
         for batch in train_dl:
             reals = jnp.asarray(np.asarray(batch))
+            if reals.shape[0] % n_dev:
+                # ragged tail batch: not shardable over the data axis —
+                # drop it (torch DDP's drop_last-equivalent behaviour)
+                continue
             reals = jax.device_put(reals, batch_shard)
             latents = encode_fn(diffae_params, reals)
             mono = reals.mean(axis=1)
