@@ -132,7 +132,7 @@ def build_loop(model: str, batch: int, dtype_str: str, steps: int,
     key = jax.random.PRNGKey(0)
     if model in ("dvae-unet",):
         fn, (params, x, t, cond), meta = build_target(model, batch, dtype_str)
-        return (lambda: vddim_sample(lambda a, b, c: fn(params, a, b, c),
+        return (lambda: vddim_sample(lambda a, b, cond: fn(params, a, b, cond),
                                      x, steps, 0, cond, key=key), meta)
     w = CLAPDAE(debug=False)
     w.setup(gdrive=False, model_len=model_len)
@@ -170,8 +170,8 @@ def build_loop(model: str, batch: int, dtype_str: str, steps: int,
         if dtype_str == "bf16":
             noise = noise.astype(jnp.bfloat16)
             cond = cond.astype(jnp.bfloat16)
-        s1 = lambda a, b, c: w.latent_diffae.apply(
-            w.diffae_params, a, b, c,
+        s1 = lambda a, b, cond: w.latent_diffae.apply(
+            w.diffae_params, a, b, cond,
             method=LatentAudioDiffusionAutoencoder.diffusion_v)
         return (lambda: vddim_sample(s1, noise, steps, 0, cond, key=key),
                 {"audio_sec": batch * 1048576 / 48000})
