@@ -36,6 +36,7 @@ from .models.dvae import DiffusionDVAE
 from .models.stacked import LatentAudioDiffusionAutoencoder, StackedAELatentDiffusionCond
 from .models.clap import CLAPModule
 from .utils.params import fast_random_params
+from .utils.prng import host_cast, host_normal
 from .samplers.vddim import sample as vddim_sample, resample_diffusion
 from .samplers.kdiff import kdiff_sample
 
@@ -365,7 +366,7 @@ class DVAEWrapper(GivenModelClass):
             "encode_it", lambda p, x: self.model.apply(
                 p, x, method=DiffusionDVAE.encode_it))
         reps = fn(self.params_ema, waveform)
-        self.noise = jax.random.normal(
+        self.noise = host_normal(
             self.next_key(), (waveform.shape[0], 2, self.demo_samples))
         return reps
 
@@ -375,7 +376,7 @@ class DVAEWrapper(GivenModelClass):
         self._ensure_params()
         noise = self.noise
         if noise is None or noise.shape[0] != reps.shape[0]:
-            noise = jax.random.normal(
+            noise = host_normal(
                 self.next_key(), (reps.shape[0], 2, self.demo_samples))
 
         def decode_fn(p, n, r):
@@ -426,7 +427,7 @@ class DVAEWrapper(GivenModelClass):
         self._ensure_params()
         noise = self.noise
         if noise is None or noise.shape[0] != reps.shape[0]:
-            noise = jax.random.normal(
+            noise = host_normal(
                 self.next_key(), (reps.shape[0], 2, self.demo_samples))
         m = self.model
         cfg = dict(io_channels=m.io_channels, cond_dim=m.latent_dim,
@@ -514,7 +515,7 @@ class StackedDiffAEWrapper(GivenModelClass):
         """small (stage-2) reps -> large (stage-1) latents via cond diffusion
         (reference :392-398)."""
         self._ensure_params()
-        noise = jax.random.normal(
+        noise = host_normal(
             self.next_key(),
             (small_reps.shape[0], self.latent_dim,
              small_reps.shape[2] * self.latent_downsampling_ratio))
@@ -619,7 +620,7 @@ class DMAE1d(GivenModelClass):
         steps = num_steps or self.num_steps
         self._ensure_params()
         t_out = latents.shape[-1] * self._cfg['downsample']
-        noise = jax.random.normal(self.next_key(),
+        noise = host_normal(self.next_key(),
                                   (latents.shape[0], 2, t_out))
 
         def fn(p, n, z):
@@ -892,7 +893,7 @@ class CLAPDAE(GivenModelClass):
         # compute dtype follows the params (see half()): mixed f32 noise
         # would silently promote every matmul back to f32
         cdtype = jax.tree_util.tree_leaves(self.ldm_params)[0].dtype
-        embeddings = jnp.asarray(audio_embeddings).astype(cdtype)
+        embeddings = host_cast(audio_embeddings, cdtype)
         if isinstance(cfg_scales, list):
             cfg_scales = cfg_scales[0]
         cfg_scale = float(cfg_scales)
@@ -930,7 +931,7 @@ class CLAPDAE(GivenModelClass):
 
         if init_audio_latents is not None:
             print("   Calling ldc_resample")
-            init_lat = jnp.asarray(init_audio_latents).astype(cdtype)
+            init_lat = host_cast(init_audio_latents, cdtype)
 
             def resample_fn(p, lat, emb, key):
                 fn = ldm_fn(p, lat.shape[-1])
@@ -946,7 +947,7 @@ class CLAPDAE(GivenModelClass):
                 self.ldm_params, init_lat, embeddings, self.next_key())
         else:
             print("   Calling ldc_sample")
-            latent_noise = jax.random.normal(
+            latent_noise = host_normal(
                 self.next_key(), (batch_size, self.latent_dim, n_latent),
                 dtype=cdtype)
 
@@ -973,7 +974,7 @@ class CLAPDAE(GivenModelClass):
         # mirage.py:696) they exceed 16 GB HBM, so decode in
         # micro-batches — batch items are independent through every op
         # here, so chunking is numerically identical.
-        s1_noise = jax.random.normal(
+        s1_noise = host_normal(
             self.next_key(),
             (fake_latents.shape[0], self.latent_diffae.latent_dim,
              fake_latents.shape[2] * self.latent_diffae.latent_downsampling_ratio),
@@ -1064,13 +1065,13 @@ class CLAPDAE(GivenModelClass):
         from .parallel.infer import decode_unet_seqpar
         self._ensure_params()
         cdtype = jax.tree_util.tree_leaves(self.ldm_params)[0].dtype
-        embeddings = jnp.asarray(audio_embeddings).astype(cdtype)
+        embeddings = host_cast(audio_embeddings, cdtype)
         if isinstance(cfg_scales, list):
             cfg_scales = cfg_scales[0]
         cfg_scale = float(cfg_scales)
         n_latent = self.demo_samples // self.downsampling_ratio
 
-        latent_noise = jax.random.normal(
+        latent_noise = host_normal(
             self.next_key(), (batch_size, self.latent_dim, n_latent),
             dtype=cdtype)
 
@@ -1094,7 +1095,7 @@ class CLAPDAE(GivenModelClass):
             sample_fn)(self.ldm_params, latent_noise, embeddings)
 
         la = self.latent_diffae
-        s1_noise = jax.random.normal(
+        s1_noise = host_normal(
             self.next_key(),
             (batch_size, la.latent_dim,
              fake_latents.shape[2] * la.latent_downsampling_ratio),

@@ -23,7 +23,8 @@ import functools
 import jax
 import numpy as np
 
-__all__ = ["host_key", "host_split", "host_fold_in"]
+__all__ = ["host_key", "host_split", "host_fold_in", "host_normal",
+           "host_cast"]
 
 
 @functools.lru_cache(maxsize=1)
@@ -81,3 +82,34 @@ def host_fold_in(key, data: int) -> np.ndarray:
     """`jax.random.fold_in` on the CPU backend, as numpy."""
     k = _np_or_tracer(key)
     return _on_cpu(lambda: jax.random.fold_in(k, int(data)))
+
+
+def host_normal(key, shape, dtype=None):
+    """`jax.random.normal` computed on the CPU backend, returned as numpy.
+
+    Why: an EAGER normal on the axon relay compiles a fresh threefry
+    program server-side per process (measured r5: the warm-restart path
+    spent minutes re-compiling tiny eager ops even with every big program
+    a persistent-cache HIT — .r5_logs/warm_restart.json 290-452 s).
+    Threefry is platform-deterministic, so CPU draws are bit-identical;
+    a jitted consumer takes the numpy array as a plain transfer. Under a
+    trace (tracer key), falls through to the in-graph normal."""
+    import jax.numpy as jnp
+    k = _np_or_tracer(key)
+    if not isinstance(k, np.ndarray):          # tracer: stay in-graph
+        return jax.random.normal(key, shape, dtype or jnp.float32)
+    out = _on_cpu(lambda: jax.random.normal(
+        jnp.asarray(k), shape, dtype or jnp.float32))
+    return out
+
+
+def host_cast(x, dtype):
+    """astype computed host-side (no relay compile), returned as UNCOMMITTED
+    numpy (bf16 via ml_dtypes) — a committed CPU jax array would change the
+    consuming jit's device assignment and therefore its persistent-cache
+    key (measured: it forced a fresh compile of the serving programs)."""
+    try:
+        arr = np.asarray(x)
+    except Exception:                           # tracer: stay in-graph
+        return x.astype(dtype)
+    return arr.astype(np.dtype(jax.numpy.dtype(dtype)))
