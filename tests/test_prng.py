@@ -47,3 +47,37 @@ def test_trace_safe_fallback():
         return x + jax.random.normal(jnp.asarray(k), x.shape)
 
     jax.jit(f)(jnp.zeros((2,)))  # must trace and run without error
+
+
+def test_host_normal_bit_identical_and_uncommitted():
+    from audio_algebra_tpu.utils.prng import host_normal
+    k = host_key(7)
+    got = host_normal(k, (3, 5), jnp.float32)
+    ref = jax.random.normal(jnp.asarray(k), (3, 5), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # uncommitted host output: consuming jits must not change cache keys
+    assert isinstance(got, np.ndarray)
+    # bf16 draws come back as numpy with the ml_dtypes bfloat16 dtype
+    gb = host_normal(k, (4,), jnp.bfloat16)
+    assert isinstance(gb, np.ndarray) and gb.dtype == jnp.bfloat16
+
+
+def test_host_normal_traced_key_stays_in_graph():
+    from audio_algebra_tpu.utils.prng import host_normal
+
+    def f(key):
+        return host_normal(key, (4,), jnp.float32)
+
+    out = jax.jit(f)(jnp.asarray(host_key(3)))
+    ref = jax.random.normal(jnp.asarray(host_key(3)), (4,))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_host_cast_uncommitted_numpy():
+    from audio_algebra_tpu.utils.prng import host_cast
+    x = np.linspace(-1, 1, 8, dtype=np.float32)
+    y = host_cast(x, jnp.bfloat16)
+    assert isinstance(y, np.ndarray) and y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y, np.float32), x, atol=0.01)
+    z = host_cast([1, 2, 3], jnp.float32)
+    assert isinstance(z, np.ndarray) and z.dtype == np.float32
