@@ -6,7 +6,8 @@ This module is the production serving surface of the rebuild: a stdlib
 `ThreadingHTTPServer` wrapping ONE warm `CLAPDAE`, with requests serialized
 onto the single chip by a lock. All jit programs are cached per shape, so
 steady-state latency is exactly the `generate()` wall time recorded in
-BASELINE.md (1.8-4.8x realtime at batch 1-8 on one v5e). Set
+BASELINE.md (6.1-6.5x realtime bf16 / 7.1-7.4x turbo at batch 1-8 on one
+v5e; restarts cost minutes — see docs/performance.md "Cold start"). Set
 MIRAGE_USERNAME + MIRAGE_PASSWORD to require basic auth on every route
 except /health (the reference GUI's auth contract, mirage.py:639).
 
@@ -611,7 +612,8 @@ def main(argv: Optional[list] = None):
     p.add_argument("--no-half", action="store_true",
                    help="serve in f32 (default bf16, the app default)")
     p.add_argument("--turbo", action="store_true",
-                   help="int8 turbo mode (engages at batch >= 16)")
+                   help="int8 turbo mode: +13-16%% realtime at every serving "
+                        "batch via the int8-in-fold path (~3.4%% rel RMS)")
     p.add_argument("--warmup", action="store_true",
                    help="compile the default-config generate before binding")
     p.add_argument("--batch-window", type=float, default=0.05,

@@ -311,8 +311,8 @@ def main():
     p.add_argument("--html-info-file", type=str, default="mirage.html",
                    help="where --share writes the redirect page (reference :653)")
     p.add_argument("--turbo", action="store_true",
-                   help="int8 turbo decode (AA_TURBO_INT8=1): ~33%% faster "
-                        "diffusion at ~2%% output RMS difference")
+                   help="int8 turbo decode (AA_TURBO_INT8=1): +13-16%% realtime "
+                        "at serving batches (r5-measured, ~3.4%% rel RMS)")
     p.add_argument("--mesh", type=str, default=None, metavar="seq=N",
                    help="run the outer diffusion stage sequence-parallel "
                         "over N chips (multi-chip latency path); e.g. "
