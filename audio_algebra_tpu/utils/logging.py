@@ -106,6 +106,12 @@ class RunLogger:
         pts = np.asarray(points)
         path = self.dir / f"{name.replace('/', '_')}_{step:08d}.npy"
         np.save(path, pts)
+        if pts.ndim == 2 and pts.shape[1] >= 3:
+            # interactive twin of the npy (reference logs plotly 3-D
+            # clouds to wandb, train_aa_effects.py:151) — no deps
+            from .viz import point_cloud_html
+            point_cloud_html(pts, title=name,
+                             path=str(path.with_suffix(".html")))
         payload = str(path)
         if self.wandb is not None:
             import wandb

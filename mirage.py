@@ -171,9 +171,14 @@ def process_audio(audio_tups: Sequence = (), text_prompts: Sequence[str] = (),
     save_audio(wav_path, out, 48000)
     pca_path = None
     if save_pca:
+        from audio_algebra_tpu.utils.viz import point_cloud_html
         cloud = pca_point_cloud(np.asarray(fake_latents), mean_axis=None)
         pca_path = str(Path(output_dir) / "mirage_latents_pca.npy")
         np.save(pca_path, cloud)
+        # interactive 3-D cloud (the reference's plotly scatter_3d,
+        # reference mirage.py:434-444) — dependency-free HTML
+        point_cloud_html(cloud, title="MIRAGE latents (PCA)",
+                         path=str(Path(output_dir) / "mirage_latents_pca.html"))
     if verbose:
         print(f"wrote {wav_path}" + (f" and {pca_path}" if pca_path else ""))
     return wav_path, pca_path, out

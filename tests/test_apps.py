@@ -405,3 +405,34 @@ def test_process_audio_seq_mesh(tmp_path):
                              init_audio_tup=(48000, pcm), save_pca=False,
                              mesh_spec="seq=4")
     mirage._model_cache.clear()
+
+
+def test_point_cloud_html(tmp_path):
+    """Interactive 3-D cloud HTML (the reference's plotly scatter_3d role,
+    reference mirage.py:434-444) — self-contained, data embedded."""
+    from audio_algebra_tpu.utils.viz import point_cloud_html
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((40, 3)).astype(np.float32)
+    out = tmp_path / "cloud.html"
+    html = point_cloud_html(pts, colors=np.arange(40), title="t",
+                            path=str(out))
+    assert out.exists() and "<canvas" in html and "const P=" in html
+    # all 40 points serialized
+    import json as _json, re
+    data = _json.loads(re.search(r"const P=(\[\[.*?\]\]);", html).group(1))
+    assert len(data) == 40 and len(data[0]) == 4
+    with pytest.raises(ValueError):
+        point_cloud_html(np.zeros((5, 2)))
+
+
+def test_log_point_cloud_writes_html(tmp_path):
+    from audio_algebra_tpu.utils.logging import RunLogger
+    logger = RunLogger("t", name="pc", out_dir=str(tmp_path),
+                       use_wandb=False)
+    rng = np.random.default_rng(1)
+    p = logger.log_point_cloud("demo/cloud", rng.standard_normal((10, 3)),
+                               step=3)
+    import pathlib
+    assert pathlib.Path(p).exists()
+    assert pathlib.Path(p).with_suffix(".html").exists()
+    logger.finish()
